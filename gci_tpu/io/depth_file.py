@@ -1,0 +1,149 @@
+"""Per-base depth checkpoint file codec (``.depth.gz``).
+
+Format contract (reference: GCI.py:113-117 writer, utility/GCI_score.py:11-39
+reader): gzip-compressed text, one ``>target`` header line per target followed
+by one decimal integer per base per line, targets in dictionary order.  This
+file is the pipeline's checkpoint/interoperability boundary (resume scoring or
+plotting without re-reading alignments).
+
+Both directions are vectorized over the whole byte buffer — no per-line
+Python.  A C++ fast path (gci_tpu.native) is used when available; this numpy
+implementation is the always-available fallback and the behavioral spec.
+"""
+from __future__ import annotations
+
+import gzip
+
+import numpy as np
+
+_NL = 10
+_GT = 62
+
+
+def _parse_uint_lines(arr: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized decimal parse of fixed positions: value per (start, len) line."""
+    out = np.zeros(starts.shape[0], dtype=np.int64)
+    if starts.shape[0] == 0:
+        return out
+    max_w = int(lens.max())
+    for w in range(1, max_w + 1):
+        sel = lens == w
+        if not sel.any():
+            continue
+        s = starts[sel]
+        vals = np.zeros(s.shape[0], dtype=np.int64)
+        for j in range(w):
+            vals = vals * 10 + (arr[s + j].astype(np.int64) - 48)
+        out[sel] = vals
+    return out
+
+
+def decode_depth_text(data: bytes) -> dict[str, np.ndarray]:
+    """Decode uncompressed depth text into {target: int64 array}."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = arr.shape[0]
+    if n == 0:
+        return {}
+    nl = np.flatnonzero(arr == _NL)
+    # tolerate a missing trailing newline
+    if nl.shape[0] == 0 or nl[-1] != n - 1:
+        nl = np.concatenate((nl, [n]))
+    starts = np.concatenate(([0], nl[:-1] + 1)).astype(np.int64)
+    lens = nl - starts
+    # drop empty lines (e.g. trailing)
+    keep = lens > 0
+    starts, lens = starts[keep], lens[keep]
+    is_header = arr[starts] == _GT
+    header_idx = np.flatnonzero(is_header)
+    if header_idx.shape[0] == 0:
+        raise ValueError("depth file has no '>' target header")
+    values = np.zeros(starts.shape[0], dtype=np.int64)
+    num_sel = ~is_header
+    values[num_sel] = _parse_uint_lines(arr, starts[num_sel], lens[num_sel])
+
+    out: dict[str, np.ndarray] = {}
+    bounds = np.concatenate((header_idx, [starts.shape[0]]))
+    for k in range(header_idx.shape[0]):
+        hs = starts[header_idx[k]]
+        # reference splits on '>' and takes the last field (GCI_score.py:32)
+        name = data[hs : hs + lens[header_idx[k]]].decode().strip().split(">")[-1]
+        out[name] = values[bounds[k] + 1 : bounds[k + 1]].copy()
+    return out
+
+
+def read_depth_gz(path: str) -> tuple[dict[str, np.ndarray], dict[str, int]]:
+    """Read a .depth.gz checkpoint -> (depths, targets_length).
+
+    Mirrors utility/GCI_score.py:11-39 ``parse_depth``.
+    """
+    try:
+        from gci_tpu.native import decode_depth_file_native
+
+        depths = decode_depth_file_native(path)
+    except (ImportError, OSError):
+        with gzip.open(path, "rb") as f:
+            data = f.read()
+        depths = decode_depth_text(data)
+    targets_length = {t: int(v.shape[0]) for t, v in depths.items()}
+    return depths, targets_length
+
+
+def encode_depth_text(depths: dict[str, np.ndarray]) -> bytes:
+    """Encode {target: int array} into the reference text format."""
+    chunks: list[bytes] = []
+    for target, vals in depths.items():
+        chunks.append(b">" + target.encode() + b"\n")
+        chunks.append(_encode_uint_lines(np.asarray(vals, dtype=np.int64)))
+    return b"".join(chunks)
+
+
+def _encode_uint_lines(vals: np.ndarray) -> bytes:
+    """Vectorized 'one decimal int per line' encoding."""
+    n = vals.shape[0]
+    if n == 0:
+        return b""
+    if vals.min() < 0:
+        raise ValueError("negative depth value")
+    # digits per value
+    widths = np.ones(n, dtype=np.int64)
+    v = vals.copy()
+    big = v >= 10
+    while big.any():
+        v[big] //= 10
+        widths[big] += 1
+        big = v >= 10
+    line_len = widths + 1
+    offs = np.concatenate(([0], np.cumsum(line_len)))
+    buf = np.empty(offs[-1], dtype=np.uint8)
+    buf[offs[1:] - 1] = _NL
+    # fill digits from least significant, right-aligned before the newline
+    right = offs[1:] - 2  # rightmost digit position per line
+    for j in range(int(widths.max())):
+        active = widths > j
+        d = ((vals[active] // (10**j)) % 10).astype(np.uint8) + 48
+        buf[right[active] - j] = d
+    return buf.tobytes()
+
+
+def write_depth_gz(path: str, depths: dict[str, np.ndarray], compresslevel: int = 6) -> None:
+    """Write the .depth.gz checkpoint (content-identical to GCI.py:113-117).
+
+    The reference shards the file into per-chunk gzip members concatenated by
+    ``cat`` (GCI.py:120-143); gzip readers treat concatenated members as one
+    stream, so a single member with identical decompressed bytes is
+    format-compatible.
+    """
+    try:
+        from gci_tpu.native import bgzf_compress_native, encode_depth_lines_native
+
+        chunks: list[bytes] = []
+        for target, vals in depths.items():
+            chunks.append(b">" + target.encode() + b"\n")
+            chunks.append(encode_depth_lines_native(np.asarray(vals, dtype=np.int64)))
+        # BGZF framing: still a valid gzip stream for the reference readers,
+        # but block-indexed so our reader can inflate it in parallel.
+        blob = bgzf_compress_native(b"".join(chunks), compresslevel)
+    except (ImportError, OSError):
+        blob = gzip.compress(encode_depth_text(depths), compresslevel=compresslevel)
+    with open(path, "wb") as f:
+        f.write(blob)

@@ -1,0 +1,262 @@
+"""ctypes bindings for the gci_native C++ host packer.
+
+The shared library is built lazily from ``gci_native.cpp`` with g++ on first
+use (no pybind11 in the image; plain C ABI + ctypes).  Callers catch
+ImportError/OSError and fall back to the pure-numpy codecs, so a missing
+toolchain degrades gracefully.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "gci_native.cpp")
+_SO = os.path.join(_HERE, "_gci_native.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-fvisibility=hidden", _SRC, "-lz", "-lpthread", "-o", _SO + ".tmp",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(_SO + ".tmp", _SO)
+
+
+def _declare(lib: ctypes.CDLL) -> None:
+    c = ctypes
+    u8p = c.POINTER(c.c_uint8)
+    i32p = c.POINTER(c.c_int32)
+    i64p = c.POINTER(c.c_int64)
+    u64p = c.POINTER(c.c_uint64)
+    lib.gci_buffer_free.argtypes = [c.c_void_p]
+    lib.gci_buffer_data.restype = u8p
+    lib.gci_buffer_data.argtypes = [c.c_void_p]
+    lib.gci_buffer_size.restype = c.c_int64
+    lib.gci_buffer_size.argtypes = [c.c_void_p]
+    lib.gci_gzip_decompress_file.restype = c.c_void_p
+    lib.gci_gzip_decompress_file.argtypes = [c.c_char_p]
+    lib.gci_gzip_compress.restype = c.c_void_p
+    lib.gci_gzip_compress.argtypes = [u8p, c.c_int64, c.c_int]
+    lib.gci_depth_decode_file.restype = c.c_void_p
+    lib.gci_depth_decode_file.argtypes = [c.c_char_p, c.c_int]
+    lib.gci_depth_free.argtypes = [c.c_void_p]
+    lib.gci_depth_error.restype = c.c_char_p
+    lib.gci_depth_error.argtypes = [c.c_void_p]
+    lib.gci_depth_num_targets.restype = c.c_int64
+    lib.gci_depth_num_targets.argtypes = [c.c_void_p]
+    lib.gci_depth_target_name.restype = c.c_char_p
+    lib.gci_depth_target_name.argtypes = [c.c_void_p, c.c_int64]
+    lib.gci_depth_target_len.restype = c.c_int64
+    lib.gci_depth_target_len.argtypes = [c.c_void_p, c.c_int64]
+    lib.gci_depth_copy_target.argtypes = [c.c_void_p, c.c_int64, i64p]
+    lib.gci_depth_encode_lines.restype = c.c_void_p
+    lib.gci_depth_encode_lines.argtypes = [i64p, c.c_int64]
+    lib.gci_bam_open.restype = c.c_void_p
+    lib.gci_bam_open.argtypes = [c.c_char_p, c.c_int, c.c_int, c.c_int]
+    lib.gci_bam_free.argtypes = [c.c_void_p]
+    lib.gci_bam_error.restype = c.c_char_p
+    lib.gci_bam_error.argtypes = [c.c_void_p]
+    lib.gci_bam_num_refs.restype = c.c_int64
+    lib.gci_bam_num_refs.argtypes = [c.c_void_p]
+    lib.gci_bam_ref_name.restype = c.c_char_p
+    lib.gci_bam_ref_name.argtypes = [c.c_void_p, c.c_int64]
+    lib.gci_bam_ref_len.restype = c.c_int64
+    lib.gci_bam_ref_len.argtypes = [c.c_void_p, c.c_int64]
+    lib.gci_bam_num_records.restype = c.c_int64
+    lib.gci_bam_num_records.argtypes = [c.c_void_p]
+    lib.gci_bam_copy_columns.argtypes = [c.c_void_p] + [i32p] * 13 + [u64p]
+    lib.gci_bam_name_blob_size.restype = c.c_int64
+    lib.gci_bam_name_blob_size.argtypes = [c.c_void_p]
+    lib.gci_bam_copy_names.argtypes = [c.c_void_p, u8p, i64p]
+    lib.gci_bam_copy_hash2.argtypes = [c.c_void_p, u64p]
+    lib.gci_bam_body_size.restype = c.c_int64
+    lib.gci_bam_body_size.argtypes = [c.c_void_p]
+    lib.gci_bam_copy_body.argtypes = [c.c_void_p, u8p]
+    lib.gci_bam_copy_rec_offsets.argtypes = [c.c_void_p, i64p]
+    lib.gci_bam_header_text_size.restype = c.c_int64
+    lib.gci_bam_header_text_size.argtypes = [c.c_void_p]
+    lib.gci_bam_copy_header_text.argtypes = [c.c_void_p, u8p]
+    lib.gci_bgzf_compress.restype = c.c_void_p
+    lib.gci_bgzf_compress.argtypes = [u8p, c.c_int64, c.c_int, c.c_int]
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        _declare(lib)
+        _lib = lib
+    return _lib
+
+
+def _as_ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def _take_buffer(lib, handle) -> bytes:
+    if not handle:
+        raise OSError("gci_native buffer operation failed")
+    try:
+        size = lib.gci_buffer_size(handle)
+        data = ctypes.string_at(lib.gci_buffer_data(handle), size)
+    finally:
+        lib.gci_buffer_free(handle)
+    return data
+
+
+def decode_depth_file_native(path: str, nthreads: int | None = None) -> dict[str, np.ndarray]:
+    """Parse a .depth.gz (or plain text) checkpoint via C++ streaming decode.
+
+    BGZF-framed files (our writer's output) decompress on a thread pool;
+    plain-gzip files (the reference writer) inflate serially.
+    """
+    lib = get_lib()
+    if nthreads is None:
+        nthreads = os.cpu_count() or 1
+    h = lib.gci_depth_decode_file(path.encode(), nthreads)
+    if not h:
+        raise OSError(f"cannot read depth file: {path}")
+    try:
+        err = lib.gci_depth_error(h)
+        if err:
+            raise ValueError(err.decode())
+        out: dict[str, np.ndarray] = {}
+        for i in range(lib.gci_depth_num_targets(h)):
+            name = lib.gci_depth_target_name(h, i).decode()
+            n = lib.gci_depth_target_len(h, i)
+            arr = np.empty(n, dtype=np.int64)
+            if n:
+                lib.gci_depth_copy_target(h, i, _as_ptr(arr, ctypes.c_int64))
+            out[name] = arr
+    finally:
+        lib.gci_depth_free(h)
+    return out
+
+
+def encode_depth_lines_native(vals: np.ndarray) -> bytes:
+    """Format int64 values as one-decimal-per-line text via C++."""
+    lib = get_lib()
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    h = lib.gci_depth_encode_lines(_as_ptr(vals, ctypes.c_int64), vals.shape[0])
+    return _take_buffer(lib, h)
+
+
+def gzip_compress_native(data: bytes, level: int = 6) -> bytes:
+    lib = get_lib()
+    arr = np.frombuffer(data, dtype=np.uint8)
+    h = lib.gci_gzip_compress(_as_ptr(arr, ctypes.c_uint8), arr.shape[0], level)
+    return _take_buffer(lib, h)
+
+
+def gzip_decompress_file_native(path: str) -> bytes:
+    lib = get_lib()
+    h = lib.gci_gzip_decompress_file(path.encode())
+    return _take_buffer(lib, h)
+
+
+def bgzf_compress_native(data: bytes, level: int = 6, nthreads: int = 4) -> bytes:
+    lib = get_lib()
+    arr = np.frombuffer(data, dtype=np.uint8)
+    h = lib.gci_bgzf_compress(
+        _as_ptr(arr, ctypes.c_uint8), arr.shape[0], level, nthreads
+    )
+    return _take_buffer(lib, h)
+
+
+class NativeBam:
+    """Packed BAM columns parsed by the C++ packer."""
+
+    def __init__(
+        self,
+        path: str,
+        nthreads: int = 4,
+        keep_names: bool = True,
+        keep_raw: bool = False,
+    ):
+        lib = get_lib()
+        self._lib = lib
+        h = lib.gci_bam_open(path.encode(), nthreads, int(keep_names), int(keep_raw))
+        if not h:
+            raise OSError(f"cannot read BAM file: {path}")
+        err = lib.gci_bam_error(h)
+        if err:
+            msg = err.decode()
+            lib.gci_bam_free(h)
+            raise ValueError(f"{path}: {msg}")
+        try:
+            self.references = [
+                lib.gci_bam_ref_name(h, i).decode()
+                for i in range(lib.gci_bam_num_refs(h))
+            ]
+            self.lengths = [
+                int(lib.gci_bam_ref_len(h, i))
+                for i in range(lib.gci_bam_num_refs(h))
+            ]
+            n = int(lib.gci_bam_num_records(h))
+            cols = {
+                name: np.empty(n, dtype=np.int32)
+                for name in (
+                    "ref_id", "pos", "ref_end", "qlen", "mapq", "flag",
+                    "m", "i", "d", "s", "eq", "x", "nm",
+                )
+            }
+            name_hash = np.empty(n, dtype=np.uint64)
+            name_hash2 = np.empty(n, dtype=np.uint64)
+            if n:
+                lib.gci_bam_copy_columns(
+                    h,
+                    *[_as_ptr(cols[k], ctypes.c_int32) for k in cols],
+                    _as_ptr(name_hash, ctypes.c_uint64),
+                )
+                lib.gci_bam_copy_hash2(h, _as_ptr(name_hash2, ctypes.c_uint64))
+            self.columns = cols
+            self.name_hash = name_hash
+            self.name_hash2 = name_hash2
+            blob_size = lib.gci_bam_name_blob_size(h)
+            self.name_offsets = np.empty(n + 1, dtype=np.int64)
+            blob = np.empty(max(blob_size, 1), dtype=np.uint8)
+            if keep_names:
+                lib.gci_bam_copy_names(
+                    h,
+                    _as_ptr(blob, ctypes.c_uint8),
+                    _as_ptr(self.name_offsets, ctypes.c_int64),
+                )
+                self.name_blob = blob[:blob_size].tobytes()
+            else:
+                lib.gci_bam_copy_names(h, None, _as_ptr(self.name_offsets, ctypes.c_int64))
+                self.name_blob = b""
+            ht_size = lib.gci_bam_header_text_size(h)
+            ht = np.empty(max(ht_size, 1), dtype=np.uint8)
+            if ht_size:
+                lib.gci_bam_copy_header_text(h, _as_ptr(ht, ctypes.c_uint8))
+            self.header_text = ht[:ht_size].tobytes().decode(errors="replace")
+            if keep_raw:
+                body_size = lib.gci_bam_body_size(h)
+                body = np.empty(max(body_size, 1), dtype=np.uint8)
+                self.record_offsets = np.empty(n, dtype=np.int64)
+                if body_size:
+                    lib.gci_bam_copy_body(h, _as_ptr(body, ctypes.c_uint8))
+                if n:
+                    lib.gci_bam_copy_rec_offsets(
+                        h, _as_ptr(self.record_offsets, ctypes.c_int64)
+                    )
+                self.body = body[:body_size].tobytes()
+            else:
+                self.body = None
+                self.record_offsets = None
+        finally:
+            lib.gci_bam_free(h)

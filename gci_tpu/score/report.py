@@ -1,0 +1,194 @@
+"""Continuity report generation (byte-compatible ``.gci`` / ``.regions.gci``).
+
+Behavioral contract: reference GCI.py:522-657 ``compute_index``.
+The report layout, row order (targets in input order then ``Genome`` /
+``All_chromosomes``), separator line (136 dashes + three newlines), float
+formatting (``round(..., 4)`` repr; integer ``0`` when no contigs) and the
+region sub-report are reproduced exactly.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from gci_tpu.intervals import (
+    collapse_depth_runs,
+    complement_dict,
+    distance_merge_dict,
+)
+from gci_tpu.score.metrics import compute_n50, gci_score
+
+_SEPARATOR = "-" * 136 + "\n\n\n"
+
+
+def _require_writable(path: str, force: bool) -> None:
+    if os.path.exists(path) and not force:
+        sys.exit(
+            f'ERROR!!! The file "{path}" exists\nPlease use "-f" or "--force" to rewrite'
+        )
+
+
+def compute_continuity_report(
+    targets_length: dict[str, int],
+    prefix: str = "GCI",
+    directory: str = ".",
+    force: bool = False,
+    merged_depths_bed_list: list[dict[str, list[tuple[int, int]]]] = (),
+    type_list: list[str] = (),
+    flank_len: int = 15,
+    dist_percent: float = 0.005,
+    regions_bed: dict[str, list[tuple[int, int]]] | None = None,
+    depths_list: list[dict[str, np.ndarray]] = (),
+    threshold: int = 0,
+    chrs_list: list[str] = (),
+) -> None:
+    """Score each read-type's issue intervals and write the .gci report(s).
+
+    Mirrors GCI.py:522-657 observable behavior (file contents, stdout
+    narration, stderr warnings, overwrite protection).
+    """
+    regions_bed = regions_bed or {}
+    gci_path = f"{directory}/{prefix}.gci"
+    _require_writable(gci_path, force)
+    with open(gci_path, "w"):
+        pass
+    if len(regions_bed) > 0:
+        regions_path = f"{directory}/{prefix}.regions.gci"
+        _require_writable(regions_path, force)
+        with open(regions_path, "w") as f:
+            f.write("Chromosome\tStart\tEnd\t" + "\t".join(type_list) + "\n")
+
+    print("Computing Theoretical minimum N50 and contigs number ...")
+    whole_label = "Genome" if len(chrs_list) == 0 else "All_chromosomes"
+    exp_n50_dict = dict(targets_length)
+    exp_num_ctg_dict = {target: 1 for target in targets_length}
+    exp_lengths = list(targets_length.values())
+    exp_n50_dict[whole_label] = compute_n50(exp_lengths)
+    exp_num_ctg_dict[whole_label] = len(exp_lengths)
+    print("Computing Theoretical minimum N50 and contigs number done!!!")
+
+    for i, merged_depths_bed in enumerate(merged_depths_bed_list):
+        print(f"Computing Curated N50 and contigs number for {type_list[i]} ...")
+        obs_lengths_dict = complement_dict(merged_depths_bed, targets_length, flank_len)
+        obs_n50_dict = {t: compute_n50(v) for t, v in obs_lengths_dict.items()}
+        obs_n50_dict[whole_label] = compute_n50(
+            [item for value in obs_lengths_dict.values() for item in value]
+        )
+
+        merged = distance_merge_dict(
+            merged_depths_bed, targets_length, dist_percent, flank_len
+        )
+        merged_complement = complement_dict(merged, targets_length, flank_len)
+        obs_num_ctg_dict = {t: len(v) for t, v in merged_complement.items()}
+        obs_num_ctg_dict[whole_label] = sum(
+            len(v) for v in merged_complement.values()
+        )
+        print(f"Computing Curated N50 and contigs number for {type_list[i]} done!!!")
+
+        print(f"Writing results to {gci_path} ...")
+        with open(gci_path, "a") as f:
+            f.write(f"{type_list[i]}:\n")
+            f.write(
+                "Chromosome\tTheoretical maximum N50\tCurated N50\t"
+                "Theoretical minimum contigs number\tCurated contigs number\tGCI score\n"
+            )
+            for target in exp_n50_dict:
+                gci = gci_score(
+                    exp_n50_dict[target],
+                    obs_n50_dict[target],
+                    exp_num_ctg_dict[target],
+                    obs_num_ctg_dict[target],
+                )
+                f.write(
+                    f"{target}\t{exp_n50_dict[target]}\t{obs_n50_dict[target]}\t"
+                    f"{exp_num_ctg_dict[target]}\t{obs_num_ctg_dict[target]}\t{gci}\n"
+                )
+            f.write(_SEPARATOR)
+        print(f"Writing results to {gci_path} done!!!\n\n")
+
+    if len(regions_bed) > 0:
+        _regions_report(
+            regions_path,
+            regions_bed,
+            depths_list,
+            threshold,
+            dist_percent,
+        )
+
+
+def _regions_report(
+    regions_path: str,
+    regions_bed: dict[str, list[tuple[int, int]]],
+    depths_list: list[dict[str, np.ndarray]],
+    threshold: int,
+    dist_percent: float,
+) -> None:
+    """Per-region GCI sub-report (GCI.py:610-657)."""
+    print("Computing GCI scores for regions ...")
+    region_all_lengths: list[int] = []
+    region_all_obs_length: list[list[int]] = [[] for _ in depths_list]
+    region_all_obs_num_ctg = [0 for _ in depths_list]
+    for target, segments in regions_bed.items():
+        for segment in segments:
+            start, end = segment
+            exp_n50 = end - start
+            if exp_n50 > 0:
+                region_all_lengths.append(exp_n50)
+            else:
+                print(
+                    f'Warning!!! The region "{target}:{start}-{end}" is not available',
+                    file=sys.stderr,
+                )
+            gci_row = []
+            for i, depthss in enumerate(depths_list):
+                region_depth = depthss[target][start:end]
+                intervals = collapse_depth_runs(region_depth, -1, threshold, 0, start)
+                obs_lengths = _complement_one(intervals, start, end)
+                obs_n50 = compute_n50(obs_lengths)
+                if exp_n50 > 0:
+                    region_all_obs_length[i] += obs_lengths
+                merged = _distance_merge_one(intervals, exp_n50, dist_percent, start, end)
+                obs_num_ctg = len(_complement_one(merged, start, end))
+                if exp_n50 > 0:
+                    region_all_obs_num_ctg[i] += obs_num_ctg
+                gci_row.append(gci_score(exp_n50, obs_n50, 1, obs_num_ctg))
+            with open(regions_path, "a") as f:
+                f.write(
+                    f"{target}\t{segment[0]}\t{segment[1]}\t"
+                    + "\t".join(map(str, gci_row))
+                    + "\n"
+                )
+    region_all_exp_n50 = compute_n50(region_all_lengths)
+    region_all_exp_num_ctg = len(region_all_lengths)
+    region_all_gci = []
+    for i in range(len(depths_list)):
+        obs_n50 = compute_n50(region_all_obs_length[i])
+        if region_all_obs_num_ctg[i] == 0:
+            region_all_gci.append(0)
+        else:
+            region_all_gci.append(
+                gci_score(
+                    region_all_exp_n50,
+                    obs_n50,
+                    region_all_exp_num_ctg,
+                    region_all_obs_num_ctg[i],
+                )
+            )
+    with open(regions_path, "a") as f:
+        f.write(_SEPARATOR)
+        f.write("All_regions\t*\t*\t" + "\t".join(map(str, region_all_gci)) + "\n")
+    print("Computing GCI scores for regions done!!!\n\n")
+
+
+def _complement_one(intervals, start, end):
+    from gci_tpu.intervals import complement_intervals
+
+    return complement_intervals(intervals, 0, 0, start, end)
+
+
+def _distance_merge_one(intervals, length, dist_percent, start, end):
+    from gci_tpu.intervals import distance_merge
+
+    return distance_merge(intervals, length, dist_percent, 0, start, end)
