@@ -1,0 +1,386 @@
+"""End-to-end pipeline orchestration.
+
+``run_filter``   — reference GCI.py:172-312 ``filter()``: ingest + filter +
+                   curate + depth-accumulate one read-type's alignment files,
+                   write the ``.depth.gz`` checkpoint.
+``run_gci``      — reference GCI.py:897-1028 ``GCI()``: the whole run
+                   (gap scan, per-type filter, gap masking, two-type merge,
+                   issue BEDs, scoring, optional plots).
+
+Ingestion and filtering are vectorized host work (numpy float64 masks for
+bit-exact threshold parity); per-base genome-axis work (depth prefix-sum,
+interval masks, two-type max) runs on the accelerator when one is available
+(gci_tpu.depth.device), with the numpy path as fallback/oracle.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from gci_tpu.depth import GenomeLayout, accumulate_depth_numpy, depth_dict_from_flat
+from gci_tpu.filters import (
+    CurationInput,
+    bam_filter_mask,
+    curate_files,
+    dedup_last_wins,
+    elect_primary_targets,
+    paf_filter_mask,
+)
+from gci_tpu.filters.cascade import high_qual_keys
+from gci_tpu.io.bam import read_bam
+from gci_tpu.io.depth_file import write_depth_gz
+from gci_tpu.io.fasta import mask_gaps_in_depths, scan_fasta_gaps
+from gci_tpu.io.names import hash_names, keys_view
+from gci_tpu.io.paf import read_paf
+from gci_tpu.reports import emit_gaps_bed, emit_issue_bed
+from gci_tpu.score.report import compute_continuity_report
+
+
+def _require_writable(path: str, force: bool) -> None:
+    if os.path.exists(path) and not force:
+        sys.exit(
+            f'ERROR!!! The file "{path}" exists\nPlease use "-f" or "--force" to rewrite'
+        )
+
+
+def run_filter(
+    paf_files: list[str],
+    bam_files: list[str],
+    prefix: str = "GCI",
+    map_qual: int = 30,
+    mq_cutoff: int = 50,
+    iden_percent: float = 0.9,
+    clip_percent: float = 0.1,
+    ovlp_percent: float = 0.9,
+    flank_len: int = 15,
+    directory: str = ".",
+    force: bool = False,
+    log_reads_type: str = "",
+    chrs_list: list[str] = (),
+    threads: int = 4,
+) -> tuple[dict[str, np.ndarray], dict[str, int]]:
+    """Filter alignments of one read type into per-base depth (GCI.py:172-312)."""
+    _require_writable(f"{directory}/{prefix}.depth.gz", force)
+    print(f"Filtering {log_reads_type} alignment files ...")
+
+    bam0 = read_bam(bam_files[0], threads=threads, keep_names=False)
+    if chrs_list:
+        targets_length = {
+            r: l for r, l in zip(bam0.references, bam0.lengths) if r in chrs_list
+        }
+    else:
+        targets_length = bam0.targets_length()
+    target_ids = {name: k for k, name in enumerate(targets_length)}
+    layout = GenomeLayout.from_targets(targets_length)
+
+    hq_parts: list[np.ndarray] = []
+    curation_inputs: list[CurationInput] = []
+
+    # --- PAF branch (GCI.py:213-254): cumulative election across files
+    if paf_files:
+        paf_masked = []
+        for path in paf_files:
+            paf = read_paf(path)
+            in_targets = np.array(
+                [t in target_ids for t in paf.targets], dtype=bool
+            )
+            mask = in_targets & paf_filter_mask(
+                paf.mapq, paf.nmatch, paf.alnlen, map_qual, iden_percent
+            )
+            paf_masked.append((paf, mask))
+            hq_parts.append(high_qual_keys(paf.name_keys, mask, paf.mapq, mq_cutoff))
+        for elected in elect_primary_targets(paf_masked):
+            names = list(elected.keys())
+            vals = list(elected.values())
+            keys = hash_names(names)
+            curation_inputs.append(
+                CurationInput(
+                    name_keys=keys,
+                    target_id=np.array(
+                        [target_ids[v[0]] for v in vals], dtype=np.int32
+                    ),
+                    start=np.array([v[1] for v in vals], dtype=np.int64),
+                    end=np.array([v[2] for v in vals], dtype=np.int64),
+                    qlen=np.array([v[3] for v in vals], dtype=np.int64),
+                )
+            )
+
+    # --- BAM branch (GCI.py:257-270): full-file scan, vectorized cascade
+    for path in bam_files:
+        bam = bam0 if path == bam_files[0] else read_bam(
+            path, threads=threads, keep_names=False
+        )
+        # map this file's ref ids onto the (possibly chrs-restricted) table
+        local_to_global = np.full(len(bam.references) + 1, -1, dtype=np.int32)
+        for k, name in enumerate(bam.references):
+            if name in target_ids:
+                local_to_global[k] = target_ids[name]
+        ref_id = bam.columns["ref_id"]
+        valid_ref = (ref_id >= 0) & (ref_id < len(bam.references))
+        gtid = np.where(valid_ref, local_to_global[np.clip(ref_id, 0, None)], -1)
+        mask = (gtid >= 0) & bam_filter_mask(
+            bam.columns, map_qual, clip_percent, iden_percent
+        )
+        hq_parts.append(
+            high_qual_keys(bam.name_keys, mask, bam.columns["mapq"], mq_cutoff)
+        )
+        survivors = dedup_last_wins(bam.name_keys, mask)
+        curation_inputs.append(
+            CurationInput(
+                name_keys=bam.name_keys[survivors],
+                target_id=gtid[survivors],
+                start=bam.columns["pos"][survivors].astype(np.int64),
+                end=bam.columns["ref_end"][survivors].astype(np.int64),
+                qlen=bam.columns["qlen"][survivors].astype(np.int64),
+            )
+        )
+
+    if hq_parts:
+        non_empty = [p for p in hq_parts if p.size]
+        high_qual = (
+            np.unique(np.concatenate(non_empty))
+            if non_empty
+            else np.empty(0, dtype=[("a", np.uint64), ("b", np.uint64)])
+        )
+    else:
+        high_qual = np.empty(0, dtype=[("a", np.uint64), ("b", np.uint64)])
+
+    curated = curate_files(curation_inputs, high_qual, ovlp_percent)
+
+    flat = accumulate_depth_numpy(
+        layout, curated.target_id, curated.start, curated.end, flank_len
+    )
+    depths = depth_dict_from_flat(layout, flat)
+
+    print(f"Filtering {log_reads_type} alignment files done!!!")
+    print(f'Writing depths into "{directory}/{prefix}.depth.gz" ...')
+    write_depth_gz(f"{directory}/{prefix}.depth.gz", depths)
+    print("Writing depths done!!!\n\n")
+    return depths, targets_length
+
+
+def merge_two_type_depths(
+    hifi_depths: dict[str, np.ndarray],
+    nano_depths: dict[str, np.ndarray],
+    prefix: str = "GCI_two_type",
+    directory: str = ".",
+    force: bool = False,
+) -> dict[str, np.ndarray]:
+    """Per-base max of the two read types (GCI.py:332-353) + checkpoint."""
+    print("Merging HiFi and ONT depth file ...")
+    _require_writable(f"{directory}/{prefix}.depth.gz", force)
+    merged = {
+        t: np.maximum(d, nano_depths[t]) for t, d in hifi_depths.items()
+    }
+    write_depth_gz(f"{directory}/{prefix}.depth.gz", merged)
+    print("Merging HiFi and ONT depth file done!!!\n\n")
+    return merged
+
+
+def run_gci(
+    hifi: list[str] | None = None,
+    nano: list[str] | None = None,
+    directory: str = ".",
+    prefix: str = "GCI",
+    map_qual: int = 30,
+    mq_cutoff: int = 50,
+    iden_percent: float = 0.9,
+    ovlp_percent: float = 0.9,
+    clip_percent: float = 0.1,
+    flank_len: int = 15,
+    threshold: int = 0,
+    plot: bool = False,
+    depth_min: float = 0.1,
+    depth_max: float = 4.0,
+    window_size: int = 50000,
+    image_type: str = "png",
+    force: bool = False,
+    dist_percent: float = 0.005,
+    reference: str | None = None,
+    regions: str | None = None,
+    chrs: str | None = None,
+    threads: int = 4,
+) -> None:
+    """Whole run: the reference's driver semantics (GCI.py:897-1028)."""
+    from gci_tpu.io.bed import read_bed_dict
+    from gci_tpu.io.bam import read_bam_header
+    from gci_tpu.io.fasta import read_fasta_lengths
+
+    chrs_list = chrs.strip().split(",") if chrs is not None else []
+
+    regions_bed: dict[str, list[tuple[int, int]]] = {}
+    if regions is not None:
+        if os.path.exists(regions) and os.access(regions, os.R_OK):
+            regions_bed = read_bed_dict(regions)
+        else:
+            sys.exit(f'ERROR!!! "{regions}" is not an available file')
+
+    if directory.endswith("/"):
+        directory = "/".join(directory.split("/")[:-1])
+    if os.path.exists(directory):
+        if not os.access(directory, os.R_OK):
+            sys.exit(f'ERROR!!! The path "{directory}" is unable to read')
+        if not os.access(directory, os.W_OK):
+            sys.exit(f'ERROR!!! The path "{directory}" is unable to write')
+    else:
+        os.makedirs(directory)
+
+    if prefix.endswith("/"):
+        sys.exit(f'ERROR!!! The prefix "{prefix}" is not allowed')
+
+    if plot:
+        img_dir = f"{directory}/images"
+        if os.path.exists(img_dir):
+            if not os.access(img_dir, os.R_OK):
+                sys.exit(f'ERROR!!! The path "{img_dir}" is unable to read')
+            if not os.access(img_dir, os.W_OK):
+                sys.exit(f'ERROR!!! The path "{img_dir}" is unable to write')
+        else:
+            os.makedirs(img_dir)
+        image_type = image_type.lower()
+
+    ref_refs = list(read_fasta_lengths(reference).keys())
+    for i in chrs_list:
+        if i not in ref_refs:
+            sys.exit(f'ERROR!!! Chromosome "{i}" provided by `--chrs` is not in the reference')
+    for i in regions_bed:
+        if i not in ref_refs:
+            sys.exit(f'ERROR!!! Chromosome "{i}" provided by `--regions` is not in the reference')
+    if chrs_list and regions_bed:
+        if not all(i in chrs_list for i in regions_bed):
+            sys.exit(
+                "ERROR!!! Chromosomes in the regions bed file are inconsistent with "
+                'the provided list of chromosomes\nPlease read the help message use "-h" or "--help"'
+            )
+
+    def split_files(files):
+        bams = [f for f in files if f.endswith(".bam")]
+        pafs = [f for f in files if not f.endswith(".bam")]
+        return bams, pafs
+
+    hifi_bam: list[str] = []
+    hifi_paf: list[str] = []
+    nano_bam: list[str] = []
+    nano_paf: list[str] = []
+    hifi_refs_lengths: dict[str, int] = {}
+    nano_refs_lengths: dict[str, int] = {}
+    if hifi is not None:
+        hifi_bam, hifi_paf = split_files(hifi)
+        for f in hifi_bam:
+            refs, lens = read_bam_header(f)
+            hifi_refs_lengths = dict(zip(refs, lens))
+        if set(hifi_refs_lengths) != set(ref_refs):
+            sys.exit(
+                "ERROR!!! The targets in hifi alignment files are inconsistent with "
+                "the reference file\nPlease check both hifi alignment files and the reference"
+            )
+    if nano is not None:
+        nano_bam, nano_paf = split_files(nano)
+        for f in nano_bam:
+            refs, lens = read_bam_header(f)
+            nano_refs_lengths = dict(zip(refs, lens))
+        if set(nano_refs_lengths) != set(ref_refs):
+            sys.exit(
+                "ERROR!!! The targets in ont alignment files are inconsistent with "
+                "the reference file\nPlease check both ont alignment files and the reference"
+            )
+
+    print("Finding gaps ...")
+    gaps = scan_fasta_gaps(reference)
+    gaps_path = emit_gaps_bed(gaps, prefix, directory, force)
+    if gaps_path is not None:
+        print(f"Finding gaps done!!! The gaps are in {gaps_path}\n\n")
+    else:
+        print("Finding gaps done!!! Awesome! No gaps were found!\n\n")
+
+    common = dict(
+        map_qual=map_qual,
+        mq_cutoff=mq_cutoff,
+        iden_percent=iden_percent,
+        clip_percent=clip_percent,
+        ovlp_percent=ovlp_percent,
+        flank_len=flank_len,
+        directory=directory,
+        force=force,
+        chrs_list=chrs_list,
+        threads=threads,
+    )
+
+    if nano is None or hifi is None:
+        files_bam = hifi_bam if nano is None else nano_bam
+        files_paf = hifi_paf if nano is None else nano_paf
+        rt = "HiFi" if nano is None else "ONT"
+        type_label = "HiFi" if nano is None else "Nano"
+        depths, targets_length = run_filter(
+            files_paf, files_bam, prefix, log_reads_type=rt, **common
+        )
+        depths = mask_gaps_in_depths(depths, gaps)
+        merged_bed = emit_issue_bed(
+            depths, prefix, threshold, flank_len, directory, force, rt
+        )
+        compute_continuity_report(
+            targets_length, prefix, directory, force, [merged_bed], [type_label],
+            flank_len, dist_percent, regions_bed, [depths], threshold, chrs_list,
+        )
+        if plot:
+            from gci_tpu.viz.plot import plot_depth_files
+
+            plot_depth_files(
+                [depths], depth_min, depth_max, window_size, image_type,
+                directory, prefix, force, targets_length, dist_percent,
+                regions_bed, threshold,
+            )
+    else:
+        if set(hifi_refs_lengths) != set(nano_refs_lengths):
+            sys.exit(
+                "ERROR!!! The targets in hifi and nano alignment files are "
+                "inconsistent\nPlease check the reference used in mapping both hifi and ont reads"
+            )
+        for target, length in hifi_refs_lengths.items():
+            if length != nano_refs_lengths[target]:
+                sys.exit(
+                    f'ERROR!!! The element "{target}:{length}" in hifi alignment files are '
+                    f'inconsistent with that in ont alignment files which is '
+                    f'"{target}:{nano_refs_lengths[target]}"\nPlease check the reference used '
+                    "in mapping both hifi and ont reads"
+                )
+        hifi_depths, targets_length = run_filter(
+            hifi_paf, hifi_bam, prefix + "_hifi", log_reads_type="HiFi", **common
+        )
+        hifi_depths = mask_gaps_in_depths(hifi_depths, gaps)
+        nano_depths, targets_length = run_filter(
+            nano_paf, nano_bam, prefix + "_nano", log_reads_type="ONT", **common
+        )
+        nano_depths = mask_gaps_in_depths(nano_depths, gaps)
+        two_type = merge_two_type_depths(
+            hifi_depths, nano_depths, prefix + "_two_type", directory, force
+        )
+        two_type = mask_gaps_in_depths(two_type, gaps)
+
+        hifi_bed = emit_issue_bed(
+            hifi_depths, prefix + "_hifi", threshold, flank_len, directory, force, "HiFi"
+        )
+        nano_bed = emit_issue_bed(
+            nano_depths, prefix + "_nano", threshold, flank_len, directory, force, "ONT"
+        )
+        two_bed = emit_issue_bed(
+            two_type, prefix + "_two_type", threshold, flank_len, directory, force, "two_types"
+        )
+        compute_continuity_report(
+            targets_length, prefix, directory, force,
+            [hifi_bed, nano_bed, two_bed], ["HiFi", "Nano", "HiFi + Nano"],
+            flank_len, dist_percent, regions_bed,
+            [hifi_depths, nano_depths, two_type], threshold, chrs_list,
+        )
+        if plot:
+            from gci_tpu.viz.plot import plot_depth_files
+
+            plot_depth_files(
+                [hifi_depths, nano_depths], depth_min, depth_max, window_size,
+                image_type, directory, prefix, force, targets_length,
+                dist_percent, regions_bed, threshold,
+            )
+
+    print("GCI finished!!!\nBye!!!")
