@@ -1,0 +1,241 @@
+"""Device (TPU) depth pipeline: scatter + prefix-sum + interval masks.
+
+The per-base genome axis is where the reference burns its time in serial
+Python loops (GCI.py:302-306, 315-353, 356-390).  Here it is laid out as one
+concatenated int32 axis (gci_tpu.depth.accum.GenomeLayout) and every per-base
+stage is an elementwise/scan op XLA can fuse and tile:
+
+* depth       — difference-array scatter (``.at[].add``) + ``jnp.cumsum``
+* gap masking — boolean mask multiply (gap intervals -> same diff/scan trick)
+* two-type    — ``jnp.maximum``
+* intervals   — in-range compare + shifted-XOR edge flags; host compacts the
+  (rare) edges into interval lists with the exact reference quirks applied
+
+The sharded version runs over a (dp, gp) mesh via shard_map: each device
+scatter-adds its *read shard* into its *genome shard* (dp = data parallel
+over reads), partial deltas merge with an ICI all-reduce (psum over dp), and
+the prefix sum is a local cumsum + exclusive scan of per-shard totals
+(all_gather over gp) — the collective formulation of the genome-coordinate
+axis ("sequence parallel" here).  Interval edges stitch across shard borders
+with a ppermute of each shard's last mask element.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gci_tpu.depth.accum import GenomeLayout, clamp_read_intervals
+
+
+# ---------------------------------------------------------------------------
+# read packing (host -> device operands)
+# ---------------------------------------------------------------------------
+
+def pack_read_deltas(
+    layout: GenomeLayout,
+    target_id: np.ndarray,
+    start: np.ndarray,
+    end: np.ndarray,
+    flank_len: int,
+    pad_to: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Global (start_slot, stop_slot, live) arrays with slice-exact clamping."""
+    s, e = clamp_read_intervals(layout, target_id, start, end, flank_len)
+    base = layout.offsets[target_id]
+    gs = (base + s).astype(np.int32)
+    ge = (base + e).astype(np.int32)
+    live = (e > s).astype(np.int32)
+    if pad_to is not None and gs.shape[0] < pad_to:
+        padn = pad_to - gs.shape[0]
+        gs = np.concatenate([gs, np.zeros(padn, np.int32)])
+        ge = np.concatenate([ge, np.zeros(padn, np.int32)])
+        live = np.concatenate([live, np.zeros(padn, np.int32)])
+    return gs, ge, live
+
+
+# ---------------------------------------------------------------------------
+# single-device path
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("total_slots",))
+def depth_single(gs, ge, live, total_slots: int):
+    """Per-slot depth from packed read deltas (one device)."""
+    delta = jnp.zeros(total_slots, dtype=jnp.int32)
+    delta = delta.at[gs].add(live, mode="drop")
+    delta = delta.at[ge].add(-live, mode="drop")
+    return jnp.cumsum(delta)
+
+
+@jax.jit
+def apply_gap_mask(depth, gap_marks):
+    """Zero depth where the gap indicator (diff-array cumsum) is positive."""
+    return jnp.where(gap_marks > 0, 0, depth)
+
+
+@jax.jit
+def two_type_max(hifi_depth, nano_depth):
+    """Per-base max of two read types (GCI.py:332-353 on device)."""
+    return jnp.maximum(hifi_depth, nano_depth)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def interval_edges(depth, valid, leftmost, rightmost):
+    """In-range mask edges over the concatenated axis.
+
+    Returns (mask, rise, fall): ``rise[i]`` marks a run start at i,
+    ``fall[i]`` marks the first out-of-range position after a run.  ``valid``
+    excludes sentinel slots and out-of-scan-window positions so runs can not
+    leak across target boundaries.
+    """
+    m = (depth > leftmost) & (depth <= rightmost) & valid
+    prev = jnp.concatenate([jnp.zeros(1, dtype=bool), m[:-1]])
+    rise = m & ~prev
+    fall = ~m & prev
+    return m, rise, fall
+
+
+# ---------------------------------------------------------------------------
+# sharded (dp, gp) path
+# ---------------------------------------------------------------------------
+
+def make_sharded_depth_fn(mesh: Mesh, total_slots: int):
+    """Build the pjit-ted sharded depth step for a (dp, gp) mesh.
+
+    Input read arrays are sharded over ``dp`` (each device holds a read
+    shard, replicated over gp); the returned depth is sharded over ``gp``.
+    ``total_slots`` must be a multiple of the gp axis size.
+    """
+    from jax import shard_map
+
+    gp = mesh.shape["gp"]
+    assert total_slots % gp == 0, "pad the genome axis to the gp shard count"
+    shard = total_slots // gp
+
+    def step(gs, ge, live):
+        gp_idx = jax.lax.axis_index("gp")
+        lo = gp_idx * shard
+        # local scatter of this device's read shard into its genome shard
+        delta = jnp.zeros(shard, dtype=jnp.int32)
+        in1 = (gs >= lo) & (gs < lo + shard)
+        in2 = (ge >= lo) & (ge < lo + shard)
+        delta = delta.at[jnp.where(in1, gs - lo, shard)].add(
+            jnp.where(in1, live, 0), mode="drop"
+        )
+        delta = delta.at[jnp.where(in2, ge - lo, shard)].add(
+            jnp.where(in2, -live, 0), mode="drop"
+        )
+        # merge read-parallel partials: ICI all-reduce over dp
+        delta = jax.lax.psum(delta, "dp")
+        # distributed prefix sum over the genome axis
+        local = jnp.cumsum(delta)
+        totals = jax.lax.all_gather(local[-1], "gp")  # (gp,)
+        offset = jnp.sum(jnp.where(jnp.arange(gp) < gp_idx, totals, 0))
+        return local + offset
+
+    return jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P("dp"), P("dp"), P("dp")),
+            out_specs=P("gp"),
+        )
+    )
+
+
+def make_sharded_interval_fn(mesh: Mesh, total_slots: int):
+    """Sharded in-range mask + edge flags with ppermute boundary stitching."""
+    from jax import shard_map
+
+    gp = mesh.shape["gp"]
+    assert total_slots % gp == 0
+
+    def step(depth, valid, leftmost, rightmost):
+        m = (depth > leftmost[0]) & (depth <= rightmost[0]) & valid
+        gp_idx = jax.lax.axis_index("gp")
+        # previous shard's last element (False for shard 0)
+        last = m[-1:]
+        perm = [(i, i + 1) for i in range(gp - 1)]
+        prev_last = jax.lax.ppermute(last, "gp", perm)
+        prev_last = jnp.where(gp_idx == 0, False, prev_last[0])
+        prev = jnp.concatenate([prev_last[None], m[:-1]])
+        rise = m & ~prev
+        fall = ~m & prev
+        return m, rise, fall
+
+    return jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P("gp"), P("gp"), P(), P()),
+            out_specs=(P("gp"), P("gp"), P("gp")),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# host-side interval compaction (shared by single and sharded paths)
+# ---------------------------------------------------------------------------
+
+def build_scan_valid(layout: GenomeLayout, flank_len: int, pad_to: int | None = None) -> np.ndarray:
+    """Boolean per-slot mask of positions inside each target's scan window.
+
+    Scan window = [flank, L-flank) per target (empty when L <= 2*flank),
+    matching the slice the reference iterates (GCI.py:374).
+    """
+    total = layout.total_slots
+    valid = np.zeros(pad_to or total, dtype=bool)
+    for k in range(len(layout.names)):
+        L = int(layout.lengths[k])
+        if L - 2 * flank_len <= 0:
+            continue
+        o = int(layout.offsets[k])
+        valid[o + flank_len : o + L - flank_len] = True
+    return valid
+
+
+def edges_to_intervals(
+    layout: GenomeLayout,
+    rise: np.ndarray,
+    fall: np.ndarray,
+    mask_last_valid: np.ndarray,
+    flank_len: int,
+    start_pos: int = 0,
+) -> dict[str, list[tuple[int, int]]]:
+    """Compact device edge bitmaps into reference-exact interval dicts.
+
+    ``mask_last_valid`` is the in-range mask restricted to valid positions
+    (needed to close runs still open at each target's final scanned index).
+    Applies the reference emission quirks (drop when the run terminates at a
+    scan index <= flank_len; final-position closure).
+    """
+    from gci_tpu.intervals.collapse import runs_to_intervals
+
+    out: dict[str, list[tuple[int, int]]] = {}
+    rise_idx = np.flatnonzero(rise)
+    fall_idx = np.flatnonzero(fall)
+    for k, name in enumerate(layout.names):
+        L = int(layout.lengths[k])
+        o = int(layout.offsets[k])
+        n_scan = L - 2 * flank_len
+        if n_scan <= 0:
+            out[name] = []
+            continue
+        w_lo = o + flank_len
+        w_hi = o + L - flank_len  # exclusive end of scan window
+        r = rise_idx[(rise_idx >= w_lo) & (rise_idx < w_hi)] - w_lo
+        f = fall_idx[(fall_idx >= w_lo) & (fall_idx <= w_hi)] - w_lo
+        # a run still open at the final scanned position has no fall edge
+        # inside the window (the next slot is invalid -> mask False there,
+        # but fall at w_hi may appear; normalize to n_scan)
+        if r.shape[0] > f.shape[0]:
+            f = np.concatenate([f, [n_scan]])
+        elif f.shape[0] > r.shape[0]:  # defensive; cannot happen with valid masks
+            f = f[: r.shape[0]]
+        f = np.minimum(f, n_scan)
+        out[name] = runs_to_intervals(r, f, n_scan, flank_len, start_pos)
+    return out
