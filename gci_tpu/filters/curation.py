@@ -47,6 +47,7 @@ class CuratedReads:
     target_id: np.ndarray
     start: np.ndarray
     end: np.ndarray
+    keys: np.ndarray | None = None  # sorted void16 name keys (aligned rows)
 
 
 def _membership(sorted_keys: np.ndarray, keys: np.ndarray) -> np.ndarray:
@@ -66,7 +67,11 @@ def curate_files(
     """Fold the files into the final curated read set (GCI.py:272-299)."""
     if len(files) == 1:
         f = files[0]
-        return CuratedReads(f.target_id, f.start, f.end)
+        kv = keys_view(f.name_keys)
+        order = np.argsort(kv)
+        return CuratedReads(
+            f.target_id[order], f.start[order], f.end[order], kv[order]
+        )
 
     views = [keys_view(f.name_keys) for f in files]
     # comm = intersection of all files' key sets
@@ -126,4 +131,4 @@ def curate_files(
         state_start = new_start[order]
         state_end = new_end[order]
 
-    return CuratedReads(state_target, state_start, state_end)
+    return CuratedReads(state_target, state_start, state_end, state_keys)

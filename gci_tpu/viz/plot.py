@@ -1,0 +1,310 @@
+"""Whole-genome / region depth plots (mirror layout, shading, legends).
+
+Behavioral contract: reference GCI.py:660-894 (``sliding_window_average_depth``,
+``pre_plot_base``, ``plot_base``, ``plot_depth``): HiFi stacked upward in
+green (#2ca25f), Nano downward in blue (#3C5488), low-depth spans shaded
+#B7DBEA, zero/threshold spans #FAD7DD, dash-dot mean line, 200 dpi outputs
+named ``images/{prefix}.{target}[...].{png|pdf}``.
+
+The window averaging walks the reference's stateful semantics (windows reset
+at zero-depth bases, partial windows flushed, means clamped to max_depth) but
+is computed vectorized from prefix sums over zero-delimited segments instead
+of a per-base Python loop.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def sliding_window_average(
+    depths: np.ndarray,
+    window_size: int = 50000,
+    max_depth: float | None = None,
+    start: int = 0,
+    target: str | None = None,
+) -> tuple[list[float], np.ndarray]:
+    """(positions_mb, averaged_depths) with reference semantics (GCI.py:660-705)."""
+    depths = np.asarray(depths)
+    n = depths.shape[0]
+    if n < window_size:
+        print(
+            f"Warning!!! The length ({n}) of plotting region "
+            f"({target}:{start}-{start + n}) is less than the window size "
+            f"({window_size}), and therefore the window size will be 1 bp",
+            file=sys.stderr,
+        )
+        window_size = 1
+    if n == 0:
+        return [], np.array([])
+
+    nz = depths != 0
+    cs = np.concatenate(([0], np.cumsum(depths, dtype=np.int64)))
+
+    # zero-depth events: one (pos, 0) per zero base
+    zero_idx = np.flatnonzero(~nz)
+
+    # nonzero segments
+    m = nz.astype(np.int8)
+    d = np.diff(m)
+    seg_starts = np.flatnonzero(d == 1) + 1
+    seg_ends = np.flatnonzero(d == -1) + 1
+    if m[0]:
+        seg_starts = np.concatenate(([0], seg_starts))
+    if m[-1]:
+        seg_ends = np.concatenate((seg_ends, [n]))
+
+    events_pos: list[np.ndarray] = [zero_idx.astype(np.float64)]
+    events_val: list[np.ndarray] = [np.zeros(zero_idx.shape[0])]
+    # order tiebreak: at a flush, the partial-window point (pos i-1) precedes
+    # the zero point (pos i); positions are distinct so a stable sort on
+    # position reproduces emission order.
+    for a, b in zip(seg_starts.tolist(), seg_ends.tolist()):
+        seg_len = b - a
+        q = seg_len // window_size
+        if q:
+            ends = a + (np.arange(1, q + 1) * window_size) - 1
+            sums = cs[ends + 1] - cs[ends + 1 - window_size]
+            vals = sums / window_size
+            events_pos.append(ends.astype(np.float64))
+            events_val.append(vals)
+        rem = seg_len - q * window_size
+        if rem:
+            s = cs[b] - cs[b - rem]
+            events_pos.append(np.array([b - 1], dtype=np.float64))
+            events_val.append(np.array([s / rem]))
+
+    pos = np.concatenate(events_pos)
+    val = np.concatenate(events_val)
+    order = np.argsort(pos, kind="stable")
+    pos = pos[order]
+    val = val[order]
+    if max_depth is not None:
+        val = np.minimum(val, max_depth)
+    return ((pos + start) / 1e6).tolist(), val
+
+
+def pre_plot(
+    depths_list: list[dict[str, np.ndarray]],
+    max_depths: list[float],
+    window_size: int = 50000,
+    start: int = 0,
+):
+    """Averaged series + y-axis layout (GCI.py:708-739)."""
+    averaged_dicts: list[dict] = [{} for _ in depths_list]
+    max_avg: list[list[float]] = [[] for _ in depths_list]
+    for target in depths_list[0]:
+        for i, depthss in enumerate(depths_list):
+            positions, vals = sliding_window_average(
+                depthss[target], window_size, max_depths[i], start, target
+            )
+            averaged_dicts[i][target] = (positions, vals)
+            max_avg[i].append(vals.max() if vals.size else 0.0)
+    y_max = max(max_avg[0]) + 10
+    y_min = 0 if len(depths_list) == 1 else max(max_avg[1]) + 10
+    y_frac = y_min / (y_max + y_min)
+    return averaged_dicts, y_frac, y_min, y_max
+
+
+def plot_target(
+    depths_list,
+    target,
+    averaged_dicts,
+    mean_depths,
+    y_frac,
+    start,
+    depth_min,
+    dist_percent,
+    y_min,
+    y_max,
+    image_type,
+    directory,
+    prefix,
+    end,
+    regions_flag,
+    threshold,
+    save_dir=None,
+):
+    """One figure (GCI.py:742-834). ``save_dir`` defaults to {directory}/images
+    (main driver layout); the plot-only tool saves into {directory} itself
+    (plot_depth.py:341,388)."""
+    if save_dir is None:
+        save_dir = f"{directory}/images"
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.lines as mlines
+    import matplotlib.pyplot as plt
+    from matplotlib.ticker import AutoMinorLocator
+
+    from gci_tpu.intervals import collapse_depth_runs, distance_merge
+
+    depth_colors = ["#2ca25f", "#3C5488"]
+    flags = [1, -1]
+
+    if len(depths_list) == 1:
+        fig, ax = plt.subplots(figsize=(20, 4))
+    else:
+        fig, ax = plt.subplots(figsize=(20, 8))
+        ax.axhline(0, color="black")
+        hifi_line = mlines.Line2D([], [], color="#2ca25f", label="HiFi", lw=0.8)
+        nano_line = mlines.Line2D([], [], color="#3C5488", label="Nano", lw=0.8)
+        legend1 = plt.legend(handles=[hifi_line, nano_line], loc="upper left")
+        plt.gca().add_artist(legend1)
+
+    blue_flag = red_flag = False
+    for i, depthss in enumerate(depths_list):
+        depths = depthss[target]
+        span_args = (y_frac, 1) if i == 0 else (0, y_frac)
+        low_bed = collapse_depth_runs(
+            depths, threshold, mean_depths[i] * depth_min, 0, start
+        )
+        if low_bed:
+            low_bed = distance_merge(
+                low_bed, end - start, dist_percent, start, start, end
+            )
+            for seg in low_bed:
+                ax.axvspan(seg[0] / 1e6, seg[1] / 1e6, *span_args, facecolor="#B7DBEA")
+            blue_flag = True
+        zero_bed = collapse_depth_runs(depths, -1, threshold, 0, start)
+        if zero_bed:
+            zero_bed = distance_merge(
+                zero_bed, end - start, dist_percent, start, start, end
+            )
+            for seg in zero_bed:
+                ax.axvspan(seg[0] / 1e6, seg[1] / 1e6, *span_args, facecolor="#FAD7DD")
+            red_flag = True
+        positions, vals = averaged_dicts[i][target]
+        ax.stackplot(positions, flags[i] * vals, lw=0.8, color=depth_colors[i], zorder=4)
+        ax.axhline(
+            flags[i] * mean_depths[i], color="r", ls="-.", dash_capstyle="butt",
+            lw=1, zorder=5,
+        )
+
+    ax.set_ylim(bottom=-y_min, top=y_max)
+    ax.xaxis.set_minor_locator(AutoMinorLocator())
+    ax.yaxis.set_minor_locator(AutoMinorLocator())
+
+    lines = []
+    if blue_flag:
+        lines.append(
+            mlines.Line2D(
+                [], [], color="#B7DBEA",
+                label=f"The region with the depth in the range of (0, {depth_min}*mean_depth]",
+            )
+        )
+    if red_flag:
+        lines.append(
+            mlines.Line2D([], [], color="#FAD7DD", label="The region of zero depth")
+        )
+    lines.append(
+        mlines.Line2D(
+            [], [], color="r", ls="-.", dash_capstyle="butt", lw=1,
+            label="Mean Coverage",
+        )
+    )
+    legend2 = plt.legend(
+        handles=lines, loc="lower center", bbox_to_anchor=(0.5, 1), ncols=len(lines)
+    )
+    plt.gca().add_artist(legend2)
+
+    plt.xlabel("Genomic Position (Mb)", fontsize=14)
+    plt.ylabel("Depth", fontsize=14)
+    plt.xticks(fontsize=12)
+    plt.yticks(fontsize=12)
+    if not regions_flag:
+        plt.title(f"Filtered depth across the whole genome:{target}", fontsize=18, pad=30)
+        plt.tight_layout()
+        plt.savefig(f"{save_dir}/{prefix}.{target}.{image_type}", dpi=200)
+    else:
+        plt.title(
+            f"Filtered depth across the region:{target}:{start}-{end}",
+            fontsize=18, pad=30,
+        )
+        plt.tight_layout()
+        plt.savefig(
+            f"{save_dir}/{prefix}.{target}:{start}-{end}.{image_type}", dpi=200
+        )
+    plt.close()
+
+
+def plot_depth_files(
+    depths_list,
+    depth_min=0.1,
+    depth_max=4.0,
+    window_size=50000,
+    image_type="png",
+    directory=".",
+    prefix="GCI",
+    force=False,
+    targets_length=None,
+    dist_percent=0.005,
+    regions_bed=None,
+    threshold=0,
+    depth_mean=None,
+    regions_only=False,
+    images_subdir=True,
+):
+    """Driver (GCI.py:837-894); ``depth_mean`` injects external means
+    (utility/plot_depth.py:369-377 ``-dmean`` semantics); ``regions_only``
+    reproduces the plot-only tool's region mode (plot_depth.py:381-405)."""
+    regions_bed = regions_bed or {}
+    if image_type not in ("pdf", "png"):
+        sys.exit("ERROR!!! The format of output images only supports pdf and png")
+    save_dir = f"{directory}/images" if images_subdir else directory
+
+    if depth_mean is not None:
+        mean_depths = depth_mean
+    else:
+        mean_depths = []
+        for depthss in depths_list:
+            concat = np.concatenate([np.asarray([], dtype=np.float64)] + [
+                np.asarray(v) for v in depthss.values()
+            ])
+            mean_depths.append(np.mean(concat))
+    max_depths = [m * depth_max for m in mean_depths]
+
+    if not regions_only:
+        for target in depths_list[0]:
+            out = f"{save_dir}/{prefix}.{target}.{image_type}"
+            if os.path.exists(out) and not force:
+                sys.exit(
+                    f'ERROR!!! The file "{out}" exists\nPlease use "-f" or "--force" to rewrite'
+                )
+        print("Plotting whole genome depth ...")
+        averaged_dicts, y_frac, y_min, y_max = pre_plot(
+            depths_list, max_depths, window_size, 0
+        )
+        for target in depths_list[0]:
+            plot_target(
+                depths_list, target, averaged_dicts, mean_depths, y_frac, 0,
+                depth_min, dist_percent, y_min, y_max, image_type, directory,
+                prefix, targets_length[target], False, threshold, save_dir,
+            )
+        print("Plotting whole genome depth done!!!\n\n")
+
+    if regions_bed:
+        print("Plotting depth for regions ...")
+        for target, segments in regions_bed.items():
+            for segment in segments:
+                start, end = segment
+                out = f"{save_dir}/{prefix}.{target}:{start}-{end}.{image_type}"
+                if os.path.exists(out) and not force:
+                    sys.exit(
+                        f'ERROR!!! The file "{out}" exists\nPlease use "-f" or '
+                        '"--force" to rewrite'
+                    )
+                regions_depths_list = [
+                    {target: depthss[target][start:end]} for depthss in depths_list
+                ]
+                averaged_dicts, y_frac, y_min, y_max = pre_plot(
+                    regions_depths_list, max_depths, window_size, start
+                )
+                plot_target(
+                    regions_depths_list, target, averaged_dicts, mean_depths,
+                    y_frac, start, depth_min, dist_percent, y_min, y_max,
+                    image_type, directory, prefix, end, True, threshold, save_dir,
+                )
+        print("Plotting depth for regions done!!!\n\n")

@@ -1,0 +1,88 @@
+import os
+
+import numpy as np
+import pytest
+
+from gci_tpu.viz.plot import plot_depth_files, sliding_window_average
+
+
+def oracle_window_average(depths, window_size, max_depth, start):
+    """Literal transcription of the documented reference loop (GCI.py:660-705)."""
+    averaged_positions = []
+    averaged_depths = []
+    window = []
+    if len(depths) < window_size:
+        window_size = 1
+    i = -1
+    for i, depth in enumerate(depths):
+        if depth == 0:
+            if len(window) > 0:
+                avg = sum(window) / len(window)
+                avg = min(avg, max_depth)
+                averaged_depths.append(avg)
+                averaged_positions.append((i + start - 1) / 1e6)
+                window = []
+            averaged_depths.append(0)
+            averaged_positions.append((i + start) / 1e6)
+        else:
+            window.append(depth)
+            if len(window) == window_size:
+                avg = sum(window) / window_size
+                avg = min(avg, max_depth)
+                averaged_depths.append(avg)
+                averaged_positions.append((i + start) / 1e6)
+                window = []
+    if len(window) > 0:
+        avg = sum(window) / len(window)
+        avg = min(avg, max_depth)
+        averaged_depths.append(avg)
+        averaged_positions.append((i + start) / 1e6)
+    return averaged_positions, averaged_depths
+
+
+@pytest.mark.parametrize("ws", [1, 3, 7])
+def test_window_average_matches_oracle(rng, ws):
+    for trial in range(30):
+        n = int(rng.integers(ws, 120))
+        depth = rng.integers(0, 5, size=n).astype(np.int64)
+        got_p, got_v = sliding_window_average(depth, ws, 3.0, start=17, target="t")
+        want_p, want_v = oracle_window_average(list(depth), ws, 3.0, 17)
+        np.testing.assert_allclose(got_p, want_p, rtol=0, atol=0)
+        np.testing.assert_allclose(got_v, want_v, rtol=0, atol=0)
+
+
+def test_window_size_fallback_warning(capsys):
+    got_p, got_v = sliding_window_average(np.array([1, 2]), 50, 10.0, 0, "chrZ")
+    err = capsys.readouterr().err
+    assert "window size will be 1 bp" in err
+    assert got_v.tolist() == [1, 2]
+
+
+def test_plot_files_written(tmp_path, rng):
+    d = str(tmp_path)
+    os.makedirs(f"{d}/images")
+    depths = {
+        "c1": rng.integers(0, 40, size=2000).astype(np.int64),
+        "c2": rng.integers(0, 40, size=1500).astype(np.int64),
+    }
+    nano = {
+        "c1": rng.integers(0, 30, size=2000).astype(np.int64),
+        "c2": rng.integers(0, 30, size=1500).astype(np.int64),
+    }
+    depths["c1"][100:200] = 0
+    plot_depth_files(
+        [depths, nano], targets_length={"c1": 2000, "c2": 1500},
+        window_size=100, directory=d, prefix="P",
+        regions_bed={"c1": [(50, 700)]},
+    )
+    for f in ["P.c1.png", "P.c2.png", "P.c1:50-700.png"]:
+        assert os.path.exists(f"{d}/images/{f}"), f
+        assert os.path.getsize(f"{d}/images/{f}") > 10000
+
+
+def test_plot_rejects_bad_image_type(tmp_path):
+    with pytest.raises(SystemExit):
+        plot_depth_files(
+            [{"c": np.ones(10)}], image_type="svg",
+            targets_length={"c": 10}, directory=str(tmp_path),
+        )
