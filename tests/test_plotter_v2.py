@@ -1,0 +1,67 @@
+import os
+
+import numpy as np
+import pytest
+
+from gci_tpu.viz.plotter_v2 import (
+    depth_region_masks,
+    parse_fai,
+    plot_sequence_v2,
+    windowed_stats,
+)
+
+
+def test_windowed_stats_segments():
+    d = np.array([0, 5, 5, 5, 5, 0, 3, 3, 3, 0, 0, 9], dtype=np.int64)
+    means, starts, ends = windowed_stats(d, window_size=2)
+    # segment [1,5): windows [1,2],[3,4]; segment [6,9): [6,7],[8,8]; [11,12): [11,11]
+    np.testing.assert_array_equal(starts, [1, 3, 6, 8, 11])
+    np.testing.assert_array_equal(ends, [2, 4, 7, 8, 11])
+    np.testing.assert_allclose(means, [5, 5, 3, 3, 9])
+
+
+def test_region_masks():
+    d = np.array([0, 0, 2, 3, 10, 0, 1], dtype=np.int64)
+    masks = depth_region_masks(d, min_safe_depth=5)
+    assert masks["zero"] == [(0, 1), (5, 5)]
+    assert masks["low"] == [(2, 3), (6, 6)]
+
+
+def test_parse_fai(tmp_path):
+    p = tmp_path / "x.fai"
+    p.write_text("chr1\t1000\t6\t60\t61\nchr2\t500\t1100\t60\t61\n")
+    assert parse_fai(str(p)) == {"chr1": 1000, "chr2": 500}
+
+
+def test_plot_sequence_v2(tmp_path, rng):
+    hifi = rng.integers(0, 40, size=5000).astype(np.int64)
+    ont = rng.integers(0, 30, size=5000).astype(np.int64)
+    hifi[100:300] = 0
+    out = plot_sequence_v2(
+        "chrT", hifi, ont, window_size=200, output_dir=str(tmp_path),
+        output_format="png",
+    )
+    assert out.endswith("chrT.png") and os.path.getsize(out) > 10000
+    # length mismatch must raise
+    with pytest.raises(ValueError):
+        plot_sequence_v2("chrT", hifi, ont[:100], output_dir=str(tmp_path))
+
+
+def test_plotter_v2_cli(tmp_path, rng):
+    from gci_tpu.io.depth_file import write_depth_gz
+    from gci_tpu.tools.plotter_v2 import main
+
+    depths = {"c1": rng.integers(0, 30, size=3000).astype(np.int64)}
+    dp = str(tmp_path / "h.depth.gz")
+    write_depth_gz(dp, depths)
+    fai = str(tmp_path / "r.fai")
+    with open(fai, "w") as f:
+        f.write("c1\t3000\t4\t60\t61\n")
+    outdir = str(tmp_path / "imgs")
+    main(["-r", fai, "--hifi", dp, "-o", outdir, "-f", "png", "-w", "100"])
+    assert os.path.exists(f"{outdir}/c1.png")
+    main([
+        "-r", fai, "--hifi", dp, "-o", outdir, "-f", "png", "-w", "100",
+        "--region", "c1:500-1500",
+    ])
+    assert os.path.exists(f"{outdir}/c1_500-1500.png")
