@@ -16,9 +16,22 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent compile cache: the remote Mosaic/XLA compile of the fused scan
+# kernel is slow (minutes) and highly variable on this host; cache it on disk
+# so repeated bench runs pay it once.  (jax may already be imported by the
+# environment's site hook, so set it through jax.config, not env vars.)
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 GENOME_BP = 1_000_000_000  # 1 Gbp synthetic assembly (8 targets)
 N_READS = 4_000_000        # ~typical HiFi read count at this scale
@@ -51,10 +64,11 @@ def synth_columns(rng, n_reads, target_len, n_targets):
     )
 
 
-def device_pipeline(total_slots, offsets_dev, lengths_dev):
+def device_pipeline(total_padded, offsets_dev, lengths_dev):
     import jax
     import jax.numpy as jnp
 
+    from gci_tpu.depth.pallas_scan import fused_depth_scan
     from gci_tpu.filters.device import bam_filter_mask_device
 
     def step(c, valid, leftmost, rightmost):
@@ -72,15 +86,12 @@ def device_pipeline(total_slots, offsets_dev, lengths_dev):
         base = offsets_dev[c["tid"]]
         gs = base + s
         ge = base + e
-        delta = jnp.zeros(total_slots, jnp.int32)
+        delta = jnp.zeros(total_padded, jnp.int32)
         delta = delta.at[gs].add(live, mode="drop")
         delta = delta.at[ge].add(-live, mode="drop")
-        depth = jnp.cumsum(delta)
-        mask = (depth > leftmost) & (depth <= rightmost) & valid
-        prev = jnp.concatenate([jnp.zeros(1, bool), mask[:-1]])
-        rise = mask & ~prev
-        fall = ~mask & prev
-        return depth.sum(), rise.sum(), fall.sum(), keep.sum()
+        depth, rise, fall = fused_depth_scan(delta, valid, leftmost, rightmost)
+        # tiny reductions force full materialization without a 4GB readback
+        return depth[-1], rise.sum(), fall.sum(), keep.sum()
 
     return jax.jit(step)
 
@@ -90,12 +101,15 @@ def run_device(cols, targets_length):
     import jax.numpy as jnp
 
     from gci_tpu.depth.accum import GenomeLayout
-    from gci_tpu.depth.device import build_scan_valid
+    from gci_tpu.depth.device import build_scan_valid, pallas_chunk_multiple
 
     layout = GenomeLayout.from_targets(targets_length)
-    valid = build_scan_valid(layout, FLANK)
+    chunk = pallas_chunk_multiple()
+    total_padded = layout.total_slots + ((-layout.total_slots) % chunk)
+    valid = np.zeros(total_padded, dtype=np.int8)
+    valid[: layout.total_slots] = build_scan_valid(layout, FLANK)
     step = device_pipeline(
-        layout.total_slots,
+        total_padded,
         jnp.asarray(layout.offsets[:-1].astype(np.int32)),
         jnp.asarray(layout.lengths.astype(np.int32)),
     )
@@ -103,14 +117,14 @@ def run_device(cols, targets_length):
     valid_dev = jnp.asarray(valid)
     # warmup/compile
     out = step(c_dev, valid_dev, -1, 0)
-    jax.block_until_ready(out)
+    res = [int(np.asarray(x)) for x in out]
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         out = step(c_dev, valid_dev, -1, 0)
-        jax.block_until_ready(out)
+        res = [int(np.asarray(x)) for x in out]
         times.append(time.perf_counter() - t0)
-    return float(np.median(times)), [int(x) for x in out]
+    return float(np.median(times)), res
 
 
 def run_reference_style(cols, targets_length, n_sample, bp_sample):

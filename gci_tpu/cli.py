@@ -113,6 +113,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="The format of the output images: png or pdf [png]",
     )
 
+    group_tpu = parser.add_argument_group("TPU/Runtime Options")
+    group_tpu.add_argument(
+        "--device", dest="depth_backend", metavar="STR",
+        choices=["auto", "device", "numpy"], default="auto",
+        help="Per-base depth backend: auto (TPU when available), device, "
+        "or numpy [auto]",
+    )
+    group_tpu.add_argument(
+        "--profile", action="store_const", const=True, default=False,
+        help="Print per-stage wall-clock/throughput metrics at the end [False]",
+    )
+    group_tpu.add_argument(
+        "--profile-trace", metavar="DIR", default=None,
+        help="Write a JAX profiler trace of the run to DIR",
+    )
+
     group_op = parser.add_argument_group("Other Options")
     group_op.add_argument(
         "-f", "--force", action="store_const", const=True, default=False,

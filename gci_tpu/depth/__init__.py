@@ -1,3 +1,13 @@
-from .accum import GenomeLayout, accumulate_depth_numpy, depth_dict_from_flat
+from .accum import (
+    GenomeLayout,
+    accumulate_depth,
+    accumulate_depth_numpy,
+    depth_dict_from_flat,
+)
 
-__all__ = ["GenomeLayout", "accumulate_depth_numpy", "depth_dict_from_flat"]
+__all__ = [
+    "GenomeLayout",
+    "accumulate_depth",
+    "accumulate_depth_numpy",
+    "depth_dict_from_flat",
+]

@@ -84,6 +84,58 @@ def accumulate_depth_numpy(
     return np.cumsum(delta).astype(np.int32)
 
 
+def accumulate_depth(
+    layout: GenomeLayout,
+    target_id: np.ndarray,
+    start: np.ndarray,
+    end: np.ndarray,
+    flank_len: int = 15,
+    backend: str = "auto",
+) -> np.ndarray:
+    """Flat per-slot depth; device (TPU pallas scan) or host numpy backend.
+
+    backend: "auto" uses the accelerator when jax's default backend is not
+    cpu; "device" forces it; "numpy" forces the host path.  Both produce
+    identical int32 results (tests assert equality).
+    """
+    use_device = False
+    if backend == "device":
+        use_device = True
+    elif backend == "auto":
+        try:
+            import jax
+
+            use_device = jax.default_backend() not in ("cpu",)
+        except Exception:
+            use_device = False
+    if not use_device:
+        return accumulate_depth_numpy(layout, target_id, start, end, flank_len)
+
+    import jax.numpy as jnp
+
+    from gci_tpu.depth.pallas_scan import depth_scan, LANES, DEF_ROWS
+
+    chunk = DEF_ROWS * LANES
+    total = layout.total_slots
+    total_padded = total + ((-total) % chunk)
+    gs, ge, live = _pack_deltas(layout, target_id, start, end, flank_len)
+    delta = jnp.zeros(total_padded, jnp.int32)
+    delta = delta.at[jnp.asarray(gs)].add(jnp.asarray(live), mode="drop")
+    delta = delta.at[jnp.asarray(ge)].add(-jnp.asarray(live), mode="drop")
+    depth = depth_scan(delta)
+    return np.asarray(depth[:total])
+
+
+def _pack_deltas(layout, target_id, start, end, flank_len):
+    s, e = clamp_read_intervals(layout, target_id, start, end, flank_len)
+    base = layout.offsets[target_id]
+    return (
+        (base + s).astype(np.int32),
+        (base + e).astype(np.int32),
+        (e > s).astype(np.int32),
+    )
+
+
 def depth_dict_from_flat(layout: GenomeLayout, flat: np.ndarray) -> dict[str, np.ndarray]:
     """Slice the concatenated axis back into per-target arrays (no sentinel)."""
     out: dict[str, np.ndarray] = {}

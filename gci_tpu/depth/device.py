@@ -178,6 +178,35 @@ def make_sharded_interval_fn(mesh: Mesh, total_slots: int):
 
 
 # ---------------------------------------------------------------------------
+# fused single-chip path (Pallas scan kernel)
+# ---------------------------------------------------------------------------
+
+def depth_and_edges_fused(
+    gs, ge, live, valid_i8, leftmost: int, rightmost: int, total_padded: int
+):
+    """Scatter + fused pallas scan/mask/edges on one chip.
+
+    ``total_padded`` must be a multiple of the kernel chunk (see
+    ``pallas_chunk_multiple``); padded tail slots must be invalid.
+    Returns (depth, rise_i8, fall_i8) over the padded axis.
+    """
+    import jax.numpy as jnp
+
+    from gci_tpu.depth.pallas_scan import fused_depth_scan
+
+    delta = jnp.zeros(total_padded, jnp.int32)
+    delta = delta.at[gs].add(live, mode="drop")
+    delta = delta.at[ge].add(-live, mode="drop")
+    return fused_depth_scan(delta, valid_i8, leftmost, rightmost)
+
+
+def pallas_chunk_multiple() -> int:
+    from gci_tpu.depth.pallas_scan import DEF_ROWS, LANES
+
+    return DEF_ROWS * LANES
+
+
+# ---------------------------------------------------------------------------
 # host-side interval compaction (shared by single and sharded paths)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,203 @@
+"""Pallas TPU kernel: fused chunked prefix-sum + interval-mask + edge flags.
+
+XLA lowers a 1-D ``jnp.cumsum`` over the genome axis to ~log2(N) full HBM
+passes (measured ~275 ms for 1 Gbp on v5e — ~30x off memory speed-of-light).
+This kernel restores the memory-bound optimum with the classic two-level
+decomposition:
+
+  1. per-chunk sums + exclusive carry: one cheap XLA reduction + a tiny scan,
+  2. one fused Pallas pass per chunk: in-VMEM hierarchical scan
+     (lane-doubling shifts + sublane-doubling shifts), add the carry, then
+     compute the issue-interval mask and its rise/fall edge flags in the same
+     pass — depth, mask edges and the gap-masked depth all come out of a
+     single HBM read of the delta array.
+
+The chunk-boundary mask dependency (``prev`` of the first element) is exact:
+depth just before a chunk IS the carry, and the previous slot's scan-window
+validity is prefetched per chunk.  Layout: each chunk is an (R, 128) tile,
+row-major = genome order; R a multiple of 8 (int32 tiling).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+DEF_ROWS = 2048  # chunk = ROWS*LANES elements (2048*128 = 256Ki = 1 MiB int32)
+
+
+def _lane_inclusive_scan(x):
+    """Inclusive cumsum along axis=1 (lanes) via doubling shifts."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 1
+    while k < LANES:
+        shifted = pltpu.roll(x, k, 1)
+        x = x + jnp.where(lane >= k, shifted, 0)
+        k *= 2
+    return x
+
+
+def _sublane_exclusive_scan(col):
+    """Exclusive cumsum along axis=0 of an (R, 1) column via doubling shifts."""
+    rows = col.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, col.shape, 0)
+    inc = col
+    k = 1
+    while k < rows:
+        shifted = pltpu.roll(inc, k, 0)
+        inc = inc + jnp.where(row >= k, shifted, 0)
+        k *= 2
+    return inc - col
+
+
+def _scan_kernel(carry_val, seed_valid_val, lo, hi,
+                 delta_ref, valid_ref, depth_ref, rise_ref, fall_ref):
+    x = delta_ref[:]
+    row_cs = _lane_inclusive_scan(x)
+    row_tot = row_cs[:, LANES - 1 :]
+    row_carry = _sublane_exclusive_scan(row_tot)
+    depth = row_cs + row_carry + carry_val
+    depth_ref[:] = depth
+
+    valid = valid_ref[:] != 0
+    # int32 mask: Mosaic's rotate only supports 32-bit lanes
+    m = ((depth > lo) & (depth <= hi) & valid).astype(jnp.int32)
+
+    # prev in linear (row-major) order
+    prev0 = (
+        (carry_val > lo) & (carry_val <= hi) & (seed_valid_val != 0)
+    ).astype(jnp.int32)
+    last_col = m[:, LANES - 1 :]
+    rolled_col = pltpu.roll(last_col, 1, 0)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, last_col.shape, 0)
+    boundary_col = jnp.where(row_idx == 0, prev0, rolled_col)
+    prev_lane = pltpu.roll(m, 1, 1)
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
+    prev = jnp.where(lane_idx == 0, boundary_col, prev_lane)
+
+    rise_ref[:] = ((m == 1) & (prev == 0)).astype(jnp.int8)
+    fall_ref[:] = ((m == 0) & (prev == 1)).astype(jnp.int8)
+
+
+def _scan_only_kernel(carry_val, delta_ref, depth_ref):
+    x = delta_ref[:]
+    row_cs = _lane_inclusive_scan(x)
+    row_tot = row_cs[:, LANES - 1 :]
+    row_carry = _sublane_exclusive_scan(row_tot)
+    depth_ref[:] = row_cs + row_carry + carry_val
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+def depth_scan(delta: jax.Array, rows: int = DEF_ROWS, interpret: bool = False):
+    """Depth-only chunked prefix sum (no mask/edge outputs)."""
+    total = delta.shape[0]
+    chunk = rows * LANES
+    assert total % chunk == 0, "pad the axis to a chunk multiple"
+    n_chunks = total // chunk
+    d2 = delta.reshape(n_chunks, rows, LANES)
+    sums = jnp.sum(d2, axis=(1, 2), dtype=jnp.int32)
+    carry = jnp.cumsum(sums) - sums
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0))],
+        out_specs=[pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0))],
+    )
+
+    def kernel(carry_s, delta_b, depth_b):
+        i = pl.program_id(0)
+        _scan_only_kernel(carry_s[i], delta_b.at[0], depth_b.at[0])
+
+    (depth,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int32)],
+        interpret=interpret,
+    )(carry, d2)
+    return depth.reshape(total)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rows", "interpret")
+)
+def fused_depth_scan(
+    delta: jax.Array,       # (n_chunks*rows*128,) int32 scatter deltas
+    valid: jax.Array,       # same shape, int8 scan-window validity
+    leftmost,
+    rightmost,
+    rows: int = DEF_ROWS,
+    interpret: bool = False,
+):
+    """(depth, rise, fall) over the padded genome axis.
+
+    ``delta``/``valid`` length must be a multiple of rows*128 (pad with
+    zeros; padded slots must be invalid).
+    """
+    total = delta.shape[0]
+    chunk = rows * LANES
+    assert total % chunk == 0, "pad the axis to a chunk multiple"
+    n_chunks = total // chunk
+
+    d2 = delta.reshape(n_chunks, rows, LANES)
+    sums = jnp.sum(d2, axis=(1, 2), dtype=jnp.int32)
+    carry = jnp.cumsum(sums) - sums  # exclusive, (n_chunks,)
+
+    v2 = valid.reshape(n_chunks, rows, LANES)
+    # scan-window validity of the slot just before each chunk (False for 0)
+    seed_valid = jnp.concatenate(
+        [jnp.zeros(1, valid.dtype), valid[chunk - 1 :: chunk][:-1]]
+    ).astype(jnp.int32)
+
+    lo = jnp.full((n_chunks,), leftmost, jnp.int32)
+    hi = jnp.full((n_chunks,), rightmost, jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # carry, seed_valid, lo, hi
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
+        ],
+    )
+
+    def kernel(carry_s, seed_s, lo_s, hi_s, delta_b, valid_b, depth_b, rise_b, fall_b):
+        i = pl.program_id(0)
+        _scan_kernel(
+            carry_s[i],
+            seed_s[i],
+            lo_s[i],
+            hi_s[i],
+            delta_b.at[0],
+            valid_b.at[0],
+            depth_b.at[0],
+            rise_b.at[0],
+            fall_b.at[0],
+        )
+
+    depth, rise, fall = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int8),
+            jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int8),
+        ],
+        interpret=interpret,
+    )(carry, seed_valid, lo, hi, d2, v2)
+    return (
+        depth.reshape(total),
+        rise.reshape(total),
+        fall.reshape(total),
+    )

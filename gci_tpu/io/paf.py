@@ -35,6 +35,30 @@ class PafData:
 
 
 def read_paf(path: str) -> PafData:
+    """Parse a PAF file (native C++ fast path, Python fallback)."""
+    try:
+        from gci_tpu.native import NativePaf
+
+        np_ = NativePaf(path)
+        ints = np_.ints
+        return PafData(
+            names=np_.names,
+            name_keys=np.stack([np_.name_hash, np_.name_hash2], axis=1),
+            targets=np_.targets,
+            qlen=ints[:, 0],
+            qstart=ints[:, 1],
+            qend=ints[:, 2],
+            tstart=ints[:, 3],
+            tend=ints[:, 4],
+            nmatch=ints[:, 5],
+            alnlen=ints[:, 6],
+            mapq=ints[:, 7],
+        )
+    except (ImportError, OSError):
+        return _read_paf_python(path)
+
+
+def _read_paf_python(path: str) -> PafData:
     names: list[bytes] = []
     targets: list[str] = []
     ints: list[tuple[int, int, int, int, int, int, int, int]] = []

@@ -86,6 +86,19 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.gci_bam_copy_header_text.argtypes = [c.c_void_p, u8p]
     lib.gci_bgzf_compress.restype = c.c_void_p
     lib.gci_bgzf_compress.argtypes = [u8p, c.c_int64, c.c_int, c.c_int]
+    lib.gci_paf_open.restype = c.c_void_p
+    lib.gci_paf_open.argtypes = [c.c_char_p]
+    lib.gci_paf_free.argtypes = [c.c_void_p]
+    lib.gci_paf_num_rows.restype = c.c_int64
+    lib.gci_paf_num_rows.argtypes = [c.c_void_p]
+    lib.gci_paf_copy_ints.argtypes = [c.c_void_p, i64p]
+    lib.gci_paf_copy_hashes.argtypes = [c.c_void_p, u64p, u64p]
+    lib.gci_paf_name_blob_size.restype = c.c_int64
+    lib.gci_paf_name_blob_size.argtypes = [c.c_void_p]
+    lib.gci_paf_target_blob_size.restype = c.c_int64
+    lib.gci_paf_target_blob_size.argtypes = [c.c_void_p]
+    lib.gci_paf_copy_names.argtypes = [c.c_void_p, u8p, i64p]
+    lib.gci_paf_copy_targets.argtypes = [c.c_void_p, u8p, i64p]
 
 
 def get_lib() -> ctypes.CDLL:
@@ -175,6 +188,45 @@ def bgzf_compress_native(data: bytes, level: int = 6, nthreads: int = 4) -> byte
         _as_ptr(arr, ctypes.c_uint8), arr.shape[0], level, nthreads
     )
     return _take_buffer(lib, h)
+
+
+class NativePaf:
+    """Packed PAF columns parsed by the C++ parser."""
+
+    def __init__(self, path: str):
+        lib = get_lib()
+        h = lib.gci_paf_open(path.encode())
+        if not h:
+            raise OSError(f"cannot read PAF file: {path}")
+        try:
+            n = int(lib.gci_paf_num_rows(h))
+            ints = np.empty(n * 8, dtype=np.int64)
+            h1 = np.empty(n, dtype=np.uint64)
+            h2 = np.empty(n, dtype=np.uint64)
+            if n:
+                lib.gci_paf_copy_ints(h, _as_ptr(ints, ctypes.c_int64))
+                lib.gci_paf_copy_hashes(
+                    h, _as_ptr(h1, ctypes.c_uint64), _as_ptr(h2, ctypes.c_uint64)
+                )
+            self.ints = ints.reshape(n, 8)
+            self.name_hash = h1
+            self.name_hash2 = h2
+            nb = lib.gci_paf_name_blob_size(h)
+            tb = lib.gci_paf_target_blob_size(h)
+            nblob = np.empty(max(nb, 1), dtype=np.uint8)
+            tblob = np.empty(max(tb, 1), dtype=np.uint8)
+            noffs = np.empty(n + 1, dtype=np.int64)
+            toffs = np.empty(n + 1, dtype=np.int64)
+            lib.gci_paf_copy_names(h, _as_ptr(nblob, ctypes.c_uint8), _as_ptr(noffs, ctypes.c_int64))
+            lib.gci_paf_copy_targets(h, _as_ptr(tblob, ctypes.c_uint8), _as_ptr(toffs, ctypes.c_int64))
+            blob = nblob[:nb].tobytes()
+            self.names = [bytes(blob[noffs[i]: noffs[i + 1]]) for i in range(n)]
+            tbytes = tblob[:tb].tobytes()
+            self.targets = [
+                tbytes[toffs[i] : toffs[i + 1]].decode() for i in range(n)
+            ]
+        finally:
+            lib.gci_paf_free(h)
 
 
 class NativeBam:

@@ -501,7 +501,7 @@ static int64_t find_nm(const uint8_t* p, const uint8_t* end,
 }
 
 static PackedBam* bam_parse(const uint8_t* u, size_t n, bool keep_names,
-                            bool keep_raw) {
+                            bool keep_raw, int nthreads) {
   auto* pb = new PackedBam();
   if (n < 12 || memcmp(u, "BAM\1", 4) != 0) {
     pb->error = "not a BAM stream";
@@ -522,81 +522,133 @@ static PackedBam* bam_parse(const uint8_t* u, size_t n, bool keep_names,
     pb->ref_lens.push_back(rd_i32(u + off));
     off += 4;
   }
-  pb->name_off.push_back(0);
-  size_t est = n / 300 + 16;
-  pb->ref_id.reserve(est);
   size_t body_start = off;
+  // pass 1: walk the block_size chain to index record offsets (cheap)
+  std::vector<size_t> offs;
+  offs.reserve(n / 300 + 16);
   while (off + 4 <= n) {
     uint32_t block_size = rd_u32(u + off);
-    off += 4;
-    if (off + block_size > n) {
+    if (off + 4 + block_size > n) {
       pb->error = "truncated BAM record";
       return pb;
     }
-    const uint8_t* rec = u + off;
-    const uint8_t* rec_end = rec + block_size;
-    int32_t refID = rd_i32(rec + 0);
-    int32_t pos = rd_i32(rec + 4);
-    uint8_t l_read_name = rec[8];
-    uint8_t mapq = rec[9];
-    uint16_t n_cigar = rd_u16(rec + 12);
-    uint16_t flag = rd_u16(rec + 14);
-    int32_t l_seq = rd_i32(rec + 16);
-    const char* rname = (const char*)rec + 32;
-    const uint8_t* cig = rec + 32 + l_read_name;
-    const uint8_t* seq = cig + 4ull * n_cigar;
-    const uint8_t* qual = seq + (l_seq + 1) / 2;
-    const uint8_t* aux = qual + l_seq;
-    const uint8_t* cg_data = nullptr;
-    uint32_t cg_count = 0;
-    int64_t nm = find_nm(aux, rec_end, &cg_data, &cg_count);
-    // long-CIGAR convention: real cigar is in CG:B,I when the inline cigar
-    // is kSmN with k == l_seq (same rule htslib applies)
-    const uint8_t* use_cig = cig;
-    uint32_t use_n = n_cigar;
-    if (cg_data && n_cigar == 2) {
-      uint32_t c0 = rd_u32(cig);
-      if ((c0 & 0xf) == 4 /*S*/ && (int32_t)(c0 >> 4) == l_seq) {
-        use_cig = cg_data;
-        use_n = cg_count;
+    offs.push_back(off);
+    off += 4 + (size_t)block_size;
+  }
+  size_t nrec = offs.size();
+  pb->ref_id.resize(nrec);
+  pb->pos.resize(nrec);
+  pb->ref_end.resize(nrec);
+  pb->qlen.resize(nrec);
+  pb->mapq.resize(nrec);
+  pb->flag.resize(nrec);
+  pb->cig_m.resize(nrec);
+  pb->cig_i.resize(nrec);
+  pb->cig_d.resize(nrec);
+  pb->cig_s.resize(nrec);
+  pb->cig_eq.resize(nrec);
+  pb->cig_x.resize(nrec);
+  pb->nm.resize(nrec);
+  pb->name_hash.resize(nrec);
+  pb->name_hash2.resize(nrec);
+  std::vector<int64_t> name_lens(nrec);
+  if (keep_raw) {
+    pb->rec_off.resize(nrec);
+    for (size_t i = 0; i < nrec; i++)
+      pb->rec_off[i] = (int64_t)(offs[i] - body_start);
+  }
+
+  // pass 2: parse records in parallel contiguous ranges
+  int T = nthreads > 1 ? nthreads : 1;
+  if ((size_t)T > nrec) T = nrec ? (int)nrec : 1;
+  std::vector<std::string> blobs((size_t)T);
+  auto worker = [&](int t) {
+    size_t lo = nrec * (size_t)t / (size_t)T;
+    size_t hi = nrec * (size_t)(t + 1) / (size_t)T;
+    std::string& blob = blobs[(size_t)t];
+    for (size_t i = lo; i < hi; i++) {
+      const uint8_t* rec = u + offs[i] + 4;
+      uint32_t block_size = rd_u32(u + offs[i]);
+      const uint8_t* rec_end = rec + block_size;
+      int32_t refID = rd_i32(rec + 0);
+      int32_t pos = rd_i32(rec + 4);
+      uint8_t l_read_name = rec[8];
+      uint8_t mapq = rec[9];
+      uint16_t n_cigar = rd_u16(rec + 12);
+      uint16_t flag = rd_u16(rec + 14);
+      int32_t l_seq = rd_i32(rec + 16);
+      const char* rname = (const char*)rec + 32;
+      const uint8_t* cig = rec + 32 + l_read_name;
+      const uint8_t* seq = cig + 4ull * n_cigar;
+      const uint8_t* qual = seq + (l_seq + 1) / 2;
+      const uint8_t* aux = qual + l_seq;
+      const uint8_t* cg_data = nullptr;
+      uint32_t cg_count = 0;
+      int64_t nm = find_nm(aux, rec_end, &cg_data, &cg_count);
+      // long-CIGAR convention: real cigar is in CG:B,I when the inline
+      // cigar is kSmN with k == l_seq (same rule htslib applies)
+      const uint8_t* use_cig = cig;
+      uint32_t use_n = n_cigar;
+      if (cg_data && n_cigar == 2) {
+        uint32_t c0 = rd_u32(cig);
+        if ((c0 & 0xf) == 4 /*S*/ && (int32_t)(c0 >> 4) == l_seq) {
+          use_cig = cg_data;
+          use_n = cg_count;
+        }
       }
-    }
-    int64_t m = 0, ins = 0, del = 0, soft = 0, eq = 0, x = 0, rspan = 0;
-    for (uint32_t c = 0; c < use_n; c++) {
-      uint32_t v = rd_u32(use_cig + 4ull * c);
-      uint32_t op = v & 0xf;
-      int64_t len = v >> 4;
-      switch (op) {
-        case 0: m += len; rspan += len; break;   // M
-        case 1: ins += len; break;               // I
-        case 2: del += len; rspan += len; break; // D
-        case 3: rspan += len; break;             // N
-        case 4: soft += len; break;              // S
-        case 7: eq += len; rspan += len; break;  // =
-        case 8: x += len; rspan += len; break;   // X
-        default: break;                          // H, P
+      int64_t m = 0, ins = 0, del = 0, soft = 0, eq = 0, x = 0, rspan = 0;
+      for (uint32_t c = 0; c < use_n; c++) {
+        uint32_t v = rd_u32(use_cig + 4ull * c);
+        uint32_t op = v & 0xf;
+        int64_t len = v >> 4;
+        switch (op) {
+          case 0: m += len; rspan += len; break;   // M
+          case 1: ins += len; break;               // I
+          case 2: del += len; rspan += len; break; // D
+          case 3: rspan += len; break;             // N
+          case 4: soft += len; break;              // S
+          case 7: eq += len; rspan += len; break;  // =
+          case 8: x += len; rspan += len; break;   // X
+          default: break;                          // H, P
+        }
       }
+      pb->ref_id[i] = refID;
+      pb->pos[i] = pos;
+      pb->ref_end[i] = (int32_t)(pos + rspan);
+      pb->qlen[i] = l_seq;
+      pb->mapq[i] = mapq;
+      pb->flag[i] = flag;
+      pb->cig_m[i] = (int32_t)m;
+      pb->cig_i[i] = (int32_t)ins;
+      pb->cig_d[i] = (int32_t)del;
+      pb->cig_s[i] = (int32_t)soft;
+      pb->cig_eq[i] = (int32_t)eq;
+      pb->cig_x[i] = (int32_t)x;
+      pb->nm[i] = (int32_t)nm;
+      size_t name_len = l_read_name > 0 ? (size_t)l_read_name - 1 : 0;
+      name_lens[i] = (int64_t)name_len;
+      pb->name_hash[i] = fnv1a64(rname, name_len);
+      pb->name_hash2[i] = hash2_64(rname, name_len);
+      if (keep_names) blob.append(rname, name_len);
     }
-    pb->ref_id.push_back(refID);
-    pb->pos.push_back(pos);
-    pb->ref_end.push_back((int32_t)(pos + rspan));
-    pb->qlen.push_back(l_seq);
-    pb->mapq.push_back(mapq);
-    pb->flag.push_back(flag);
-    pb->cig_m.push_back((int32_t)m);
-    pb->cig_i.push_back((int32_t)ins);
-    pb->cig_d.push_back((int32_t)del);
-    pb->cig_s.push_back((int32_t)soft);
-    pb->cig_eq.push_back((int32_t)eq);
-    pb->cig_x.push_back((int32_t)x);
-    pb->nm.push_back((int32_t)nm);
-    size_t name_len = l_read_name > 0 ? (size_t)l_read_name - 1 : 0;
-    pb->name_hash.push_back(fnv1a64(rname, name_len));
-    pb->name_hash2.push_back(hash2_64(rname, name_len));
-    if (keep_names) pb->name_blob.append(rname, name_len);
-    pb->name_off.push_back((int64_t)pb->name_blob.size());
-    if (keep_raw) pb->rec_off.push_back((int64_t)(off - 4 - body_start));
-    off += block_size;
+  };
+  if (T <= 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < T; t++) ts.emplace_back(worker, t);
+    for (auto& th : ts) th.join();
+  }
+
+  pb->name_off.resize(nrec + 1);
+  pb->name_off[0] = 0;
+  for (size_t i = 0; i < nrec; i++)
+    pb->name_off[i + 1] = pb->name_off[i] + (keep_names ? name_lens[i] : 0);
+  if (keep_names) {
+    size_t total_blob = 0;
+    for (auto& b : blobs) total_blob += b.size();
+    pb->name_blob.reserve(total_blob);
+    for (auto& b : blobs) pb->name_blob += b;
   }
   if (keep_raw)
     pb->body.assign(u + body_start, u + n);
@@ -628,7 +680,127 @@ GCI_API void* gci_bam_open(const char* path, int nthreads, int keep_names,
   } else {
     un = std::move(raw);  // uncompressed BAM
   }
-  return bam_parse(un.data(), un.size(), keep_names != 0, keep_raw != 0);
+  return bam_parse(un.data(), un.size(), keep_names != 0, keep_raw != 0,
+                   nthreads);
+}
+
+// ===========================================================================
+// PAF parser: tab-separated text -> packed columns
+// ===========================================================================
+namespace {
+
+struct PackedPaf {
+  // int columns: qlen qstart qend tstart tend nmatch alnlen mapq
+  std::vector<int64_t> ints;  // row-major, 8 per row
+  std::vector<uint64_t> name_hash, name_hash2;
+  std::vector<int64_t> name_off;   // n+1
+  std::string name_blob;
+  std::vector<int64_t> target_off;  // n+1
+  std::string target_blob;
+  std::string error;
+  size_t n_rows = 0;
+};
+
+static inline int64_t parse_int(const char* s, const char* e) {
+  int64_t v = 0;
+  bool neg = false;
+  if (s < e && *s == '-') { neg = true; s++; }
+  while (s < e && *s >= '0' && *s <= '9') v = v * 10 + (*s++ - '0');
+  return neg ? -v : v;
+}
+
+static PackedPaf* paf_parse(const char* p, size_t n) {
+  auto* pf = new PackedPaf();
+  size_t i = 0;
+  const int NEED[8] = {1, 2, 3, 7, 8, 9, 10, 11};
+  pf->name_off.push_back(0);
+  pf->target_off.push_back(0);
+  while (i < n) {
+    size_t line_end = i;
+    while (line_end < n && p[line_end] != '\n') line_end++;
+    size_t e = line_end;
+    if (e > i && p[e - 1] == '\r') e--;
+    // split into fields
+    const char* f[13];
+    size_t flen[13];
+    int nf = 0;
+    size_t s = i;
+    for (size_t q = i; q <= e && nf < 13; q++) {
+      if (q == e || p[q] == '\t') {
+        f[nf] = p + s;
+        flen[nf] = q - s;
+        nf++;
+        s = q + 1;
+      }
+    }
+    if (nf >= 12) {
+      pf->name_blob.append(f[0], flen[0]);
+      pf->name_off.push_back((int64_t)pf->name_blob.size());
+      pf->name_hash.push_back(fnv1a64(f[0], flen[0]));
+      pf->name_hash2.push_back(hash2_64(f[0], flen[0]));
+      pf->target_blob.append(f[5], flen[5]);
+      pf->target_off.push_back((int64_t)pf->target_blob.size());
+      for (int k = 0; k < 8; k++)
+        pf->ints.push_back(parse_int(f[NEED[k]], f[NEED[k]] + flen[NEED[k]]));
+      pf->n_rows++;
+    }
+    i = line_end + 1;
+  }
+  return pf;
+}
+
+}  // namespace
+
+GCI_API void* gci_paf_open(const char* path) {
+  std::vector<uint8_t> raw;
+  if (!read_file(path, raw)) return nullptr;
+  std::vector<uint8_t> un;
+  const char* p = (const char*)raw.data();
+  size_t n = raw.size();
+  if (n >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
+    if (!gzip_inflate_all(raw.data(), n, un)) return nullptr;
+    p = (const char*)un.data();
+    n = un.size();
+  }
+  return paf_parse(p, n);
+}
+
+GCI_API void gci_paf_free(void* h) { delete (PackedPaf*)h; }
+GCI_API int64_t gci_paf_num_rows(void* h) {
+  return (int64_t)((PackedPaf*)h)->n_rows;
+}
+GCI_API void gci_paf_copy_ints(void* h, int64_t* out) {
+  auto* pf = (PackedPaf*)h;
+  if (!pf->ints.empty())
+    memcpy(out, pf->ints.data(), pf->ints.size() * sizeof(int64_t));
+}
+GCI_API void gci_paf_copy_hashes(void* h, uint64_t* h1, uint64_t* h2) {
+  auto* pf = (PackedPaf*)h;
+  if (!pf->name_hash.empty()) {
+    memcpy(h1, pf->name_hash.data(), pf->name_hash.size() * sizeof(uint64_t));
+    memcpy(h2, pf->name_hash2.data(), pf->name_hash2.size() * sizeof(uint64_t));
+  }
+}
+GCI_API int64_t gci_paf_name_blob_size(void* h) {
+  return (int64_t)((PackedPaf*)h)->name_blob.size();
+}
+GCI_API int64_t gci_paf_target_blob_size(void* h) {
+  return (int64_t)((PackedPaf*)h)->target_blob.size();
+}
+GCI_API void gci_paf_copy_names(void* h, uint8_t* blob, int64_t* offs) {
+  auto* pf = (PackedPaf*)h;
+  if (blob && !pf->name_blob.empty())
+    memcpy(blob, pf->name_blob.data(), pf->name_blob.size());
+  if (offs)
+    memcpy(offs, pf->name_off.data(), pf->name_off.size() * sizeof(int64_t));
+}
+GCI_API void gci_paf_copy_targets(void* h, uint8_t* blob, int64_t* offs) {
+  auto* pf = (PackedPaf*)h;
+  if (blob && !pf->target_blob.empty())
+    memcpy(blob, pf->target_blob.data(), pf->target_blob.size());
+  if (offs)
+    memcpy(offs, pf->target_off.data(),
+           pf->target_off.size() * sizeof(int64_t));
 }
 
 GCI_API void gci_bam_free(void* h) { delete (PackedBam*)h; }

@@ -19,7 +19,8 @@ import sys
 
 import numpy as np
 
-from gci_tpu.depth import GenomeLayout, accumulate_depth_numpy, depth_dict_from_flat
+from gci_tpu.depth import GenomeLayout, accumulate_depth, depth_dict_from_flat
+from gci_tpu.utils import stage
 from gci_tpu.filters import (
     CurationInput,
     bam_filter_mask,
@@ -60,12 +61,14 @@ def run_filter(
     log_reads_type: str = "",
     chrs_list: list[str] = (),
     threads: int = 4,
+    depth_backend: str = "auto",
 ) -> tuple[dict[str, np.ndarray], dict[str, int]]:
     """Filter alignments of one read type into per-base depth (GCI.py:172-312)."""
     _require_writable(f"{directory}/{prefix}.depth.gz", force)
     print(f"Filtering {log_reads_type} alignment files ...")
 
-    bam0 = read_bam(bam_files[0], threads=threads, keep_names=False)
+    with stage(f"{log_reads_type}:bam_pack:{bam_files[0]}"):
+        bam0 = read_bam(bam_files[0], threads=threads, keep_names=False)
     if chrs_list:
         targets_length = {
             r: l for r, l in zip(bam0.references, bam0.lengths) if r in chrs_list
@@ -109,9 +112,11 @@ def run_filter(
 
     # --- BAM branch (GCI.py:257-270): full-file scan, vectorized cascade
     for path in bam_files:
-        bam = bam0 if path == bam_files[0] else read_bam(
-            path, threads=threads, keep_names=False
-        )
+        if path == bam_files[0]:
+            bam = bam0
+        else:
+            with stage(f"{log_reads_type}:bam_pack:{path}"):
+                bam = read_bam(path, threads=threads, keep_names=False)
         # map this file's ref ids onto the (possibly chrs-restricted) table
         local_to_global = np.full(len(bam.references) + 1, -1, dtype=np.int32)
         for k, name in enumerate(bam.references):
@@ -147,16 +152,22 @@ def run_filter(
     else:
         high_qual = np.empty(0, dtype=[("a", np.uint64), ("b", np.uint64)])
 
-    curated = curate_files(curation_inputs, high_qual, ovlp_percent)
+    with stage(f"{log_reads_type}:curation"):
+        curated = curate_files(curation_inputs, high_qual, ovlp_percent)
 
-    flat = accumulate_depth_numpy(
-        layout, curated.target_id, curated.start, curated.end, flank_len
-    )
+    with stage(
+        f"{log_reads_type}:depth_accumulate", items=int(curated.start.shape[0]), unit="reads"
+    ):
+        flat = accumulate_depth(
+            layout, curated.target_id, curated.start, curated.end, flank_len,
+            backend=depth_backend,
+        )
     depths = depth_dict_from_flat(layout, flat)
 
     print(f"Filtering {log_reads_type} alignment files done!!!")
     print(f'Writing depths into "{directory}/{prefix}.depth.gz" ...')
-    write_depth_gz(f"{directory}/{prefix}.depth.gz", depths)
+    with stage(f"{log_reads_type}:write_depth_gz"):
+        write_depth_gz(f"{directory}/{prefix}.depth.gz", depths)
     print("Writing depths done!!!\n\n")
     return depths, targets_length
 
@@ -202,8 +213,31 @@ def run_gci(
     regions: str | None = None,
     chrs: str | None = None,
     threads: int = 4,
+    depth_backend: str = "auto",
+    profile: bool = False,
+    profile_trace: str | None = None,
 ) -> None:
     """Whole run: the reference's driver semantics (GCI.py:897-1028)."""
+    from gci_tpu.utils.metrics import get_metrics, maybe_jax_trace
+
+    with maybe_jax_trace(profile_trace):
+        _run_gci_inner(
+            hifi, nano, directory, prefix, map_qual, mq_cutoff, iden_percent,
+            ovlp_percent, clip_percent, flank_len, threshold, plot, depth_min,
+            depth_max, window_size, image_type, force, dist_percent, reference,
+            regions, chrs, threads, depth_backend,
+        )
+    if profile:
+        print("\n=== stage metrics ===")
+        print(get_metrics().report())
+
+
+def _run_gci_inner(
+    hifi, nano, directory, prefix, map_qual, mq_cutoff, iden_percent,
+    ovlp_percent, clip_percent, flank_len, threshold, plot, depth_min,
+    depth_max, window_size, image_type, force, dist_percent, reference,
+    regions, chrs, threads, depth_backend,
+) -> None:
     from gci_tpu.io.bed import read_bed_dict
     from gci_tpu.io.bam import read_bam_header
     from gci_tpu.io.fasta import read_fasta_lengths
@@ -306,6 +340,7 @@ def run_gci(
         force=force,
         chrs_list=chrs_list,
         threads=threads,
+        depth_backend=depth_backend,
     )
 
     if nano is None or hifi is None:

@@ -92,3 +92,22 @@ def test_gzip_module_can_read_our_bgzf(bam_path):
 
     with gzip.open(bam_path, "rb") as f:
         assert f.read(4) == b"BAM\x01"
+
+
+def test_native_paf_matches_python(tmp_path):
+    from gci_tpu.io.paf import _read_paf_python, read_paf
+    from tests.fixtures import make_paf
+
+    rows = [
+        ("q1", 1000, 0, 900, "+", "tA", 5000, 100, 1000, 850, 900, 60),
+        ("q2", 800, 10, 700, "-", "tB", 3000, 0, 690, 600, 690, 30),
+        ("weird read name", 10, 0, 5, "+", "tA", 5000, 0, 5, 5, 5, 0),
+    ]
+    p = str(tmp_path / "t.paf")
+    make_paf(p, rows)
+    a = read_paf(p)
+    b = _read_paf_python(p)
+    assert a.names == b.names and a.targets == b.targets
+    for f in ("qlen", "qstart", "qend", "tstart", "tend", "nmatch", "alnlen", "mapq"):
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f), err_msg=f)
+    np.testing.assert_array_equal(a.name_keys, b.name_keys)
