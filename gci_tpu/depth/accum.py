@@ -111,6 +111,14 @@ def accumulate_depth(
     if not use_device:
         return accumulate_depth_numpy(layout, target_id, start, end, flank_len)
 
+    # genomes whose delta+depth buffers would crowd HBM stream in chunks
+    if layout.total_slots > 1_200_000_000:
+        from gci_tpu.depth.streamed import accumulate_depth_streamed
+
+        return accumulate_depth_streamed(
+            layout, target_id, start, end, flank_len
+        )
+
     import jax.numpy as jnp
 
     from gci_tpu.depth.pallas_scan import depth_scan, LANES, DEF_ROWS

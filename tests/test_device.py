@@ -104,3 +104,16 @@ def test_graft_entry_smoke():
     out = jax.jit(fn)(*args)
     assert out[0].shape[0] > 0
     ge.dryrun_multichip(8)
+
+
+def test_streamed_depth_matches_numpy(rng):
+    from gci_tpu.depth.streamed import accumulate_depth_streamed
+
+    layout = GenomeLayout.from_targets(TARGETS)
+    tid, start, end = _random_reads(rng, 400)
+    want = accumulate_depth_numpy(layout, tid, start, end, 15)
+    # tiny chunks force many boundaries + carries; jnp-cumsum kernel on CPU
+    got = accumulate_depth_streamed(
+        layout, tid, start, end, 15, chunk_slots=1000, kernel="jnp"
+    )
+    np.testing.assert_array_equal(got, want)

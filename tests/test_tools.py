@@ -182,3 +182,57 @@ def test_filter_bam_snapshot(tmp_path, rng):
         plot=True, reference=ref, region="chrA:100-2000",
     )
     assert os.path.exists(f"{tmp_path}/snap.png")
+
+
+def test_score_dual_and_two_type_branches(dataset, rng, tmp_path):
+    """7-way branch coverage: hifi+nano+two_type resume."""
+    import numpy as np
+
+    from gci_tpu.io.depth_file import read_depth_gz, write_depth_gz
+    from gci_tpu.tools.score_only import run_score
+
+    depths, tl = read_depth_gz(f'{dataset["out"]}/X.depth.gz')
+    nano = {t: np.maximum(v - 1, 0) for t, v in depths.items()}
+    two = {t: np.maximum(depths[t], nano[t]) for t in depths}
+    np_path = str(tmp_path / "n.depth.gz")
+    tt_path = str(tmp_path / "t.depth.gz")
+    write_depth_gz(np_path, nano)
+    write_depth_gz(tt_path, two)
+
+    d2 = dataset["tmp"] + "/score3_out"
+    run_score(
+        hifi=f'{dataset["out"]}/X.depth.gz',
+        nano=np_path,
+        two_type=tt_path,
+        reference=dataset["ref"],
+        directory=d2,
+        prefix="X",
+        force=True,
+    )
+    text = open(f"{d2}/X.gci").read()
+    assert text.startswith("HiFi:\n")
+    assert "\nNano:\n" in text and "\nHiFi + Nano:\n" in text
+    assert text.count("Genome\t") == 3
+    # the bed written last wins the shared filename (reference quirk)
+    assert "X.0.depth.bed" in __import__("os").listdir(d2)
+
+
+def test_score_regions(dataset):
+    from gci_tpu.tools.score_only import run_score
+
+    regions = dataset["tmp"] + "/sregions.bed"
+    with open(regions, "w") as f:
+        f.write("chrA\t1000\t9000\nchrB\t0\t5000\n")
+    d2 = dataset["tmp"] + "/score_regions_out"
+    run_score(
+        hifi=f'{dataset["out"]}/X.depth.gz',
+        reference=dataset["ref"],
+        directory=d2,
+        prefix="XR",
+        regions=regions,
+    )
+    text = open(f"{d2}/XR.regions.gci").read()
+    assert text.startswith("Chromosome\tStart\tEnd\tHiFi\n")
+    assert "All_regions\t*\t*\t" in text
+    rows = [l for l in text.splitlines() if l.startswith("chr")]
+    assert len(rows) == 2
