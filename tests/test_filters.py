@@ -165,3 +165,30 @@ def test_chrs_restriction_matches_oracle(tmp_path, rng):
     got = _vector_filter([], [bam], restricted)
     want = oracle_filter([], [bam], restricted)
     _compare(got, want)
+
+
+def test_paf_plus_two_bams_matches_oracle(tmp_path, rng):
+    """Three-file curation fold incl. drop-then-readopt via high-qual."""
+    pp = str(tmp_path / "x.paf")
+    b1 = str(tmp_path / "a.bam")
+    b2 = str(tmp_path / "b.bam")
+    make_paf(pp, _random_paf_rows(rng, 250, name_space=80))
+    make_bam(b1, REFS, LENS, random_reads(rng, REFS, LENS, 250, name_prefix="q"))
+    make_bam(b2, REFS, LENS, random_reads(rng, REFS, LENS, 250, name_prefix="q"))
+    pafs = [read_paf(pp)]
+    bams = [read_bam(b1), read_bam(b2)]
+    got = _vector_filter(pafs, bams, TARGETS)
+    want = oracle_filter(pafs, bams, TARGETS)
+    _compare(got, want)
+
+
+def test_ovlp_percent_sweep_matches_oracle(tmp_path, rng):
+    b1 = str(tmp_path / "a.bam")
+    b2 = str(tmp_path / "b.bam")
+    make_bam(b1, REFS, LENS, random_reads(rng, REFS, LENS, 200, name_prefix="s"))
+    make_bam(b2, REFS, LENS, random_reads(rng, REFS, LENS, 200, name_prefix="s"))
+    bams = [read_bam(b1), read_bam(b2)]
+    for op in (0.0, 0.5, 0.99):
+        got = _vector_filter([], bams, TARGETS, ovlp_percent=op)
+        want = oracle_filter([], bams, TARGETS, ovlp_percent=op)
+        _compare(got, want)
