@@ -1,0 +1,170 @@
+"""Event-space per-target depth: piecewise-constant representation + ops.
+
+Every per-base operation the pipeline needs — gap masking, two-type max,
+interval collapse, run-length checkpoint serialization, mean depth — has an
+exact O(#events) counterpart on the piecewise-constant depth function.  This
+representation makes whole-genome wall-clock independent of genome length
+(only read counts and interval counts matter) and is oracle-tested against
+the per-base arrays.
+
+``DepthEvents`` is one target's depth as (boundaries, values):
+``values[k]`` holds on [boundaries[k], boundaries[k+1]) with an implicit
+final boundary at ``length``; boundaries[0] == 0.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from gci_tpu.intervals.collapse import runs_to_intervals
+
+
+@dataclass
+class DepthEvents:
+    boundaries: np.ndarray  # int64 ascending, [0] == 0, all < length
+    values: np.ndarray      # int64, same shape
+    length: int
+
+    # ------------------------------------------------------------------ build
+    @classmethod
+    def from_reads(cls, starts: np.ndarray, stops: np.ndarray, length: int) -> "DepthEvents":
+        """From clamped increment slots (stop exclusive), like a[s:e] += 1."""
+        starts = np.asarray(starts, np.int64)
+        stops = np.asarray(stops, np.int64)
+        live = stops > starts
+        starts, stops = starts[live], stops[live]
+        pos = np.concatenate([starts, stops])
+        delta = np.concatenate(
+            [np.ones(starts.shape[0], np.int64), -np.ones(stops.shape[0], np.int64)]
+        )
+        order = np.argsort(pos, kind="stable")
+        pos, delta = pos[order], delta[order]
+        if pos.shape[0]:
+            uniq = np.concatenate([[True], pos[1:] != pos[:-1]])
+            upos = pos[uniq]
+            seg = np.cumsum(uniq) - 1
+            sums = np.zeros(upos.shape[0], np.int64)
+            np.add.at(sums, seg, delta)
+            levels = np.cumsum(sums)
+        else:
+            upos = np.empty(0, np.int64)
+            levels = np.empty(0, np.int64)
+        if upos.shape[0] == 0 or upos[0] != 0:
+            upos = np.concatenate([[0], upos])
+            levels = np.concatenate([[0], levels])
+        keep = upos < length
+        return cls(upos[keep], levels[keep], length)._dedup()
+
+    @classmethod
+    def from_array(cls, depth: np.ndarray) -> "DepthEvents":
+        depth = np.asarray(depth, np.int64)
+        L = depth.shape[0]
+        if L == 0:
+            return cls(np.zeros(1, np.int64), np.zeros(1, np.int64), 0)
+        change = np.concatenate([[True], depth[1:] != depth[:-1]])
+        b = np.flatnonzero(change).astype(np.int64)
+        return cls(b, depth[b], L)
+
+    def _dedup(self) -> "DepthEvents":
+        """Merge adjacent equal-value segments (canonical form)."""
+        if self.values.shape[0] <= 1:
+            return self
+        keep = np.concatenate([[True], self.values[1:] != self.values[:-1]])
+        return DepthEvents(self.boundaries[keep], self.values[keep], self.length)
+
+    # ------------------------------------------------------------------- ops
+    def run_lengths(self) -> tuple[np.ndarray, np.ndarray]:
+        """(values, counts) run-length form over the full [0, length)."""
+        if self.length == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        ends = np.concatenate([self.boundaries[1:], [self.length]])
+        return self.values, ends - self.boundaries
+
+    def materialize(self) -> np.ndarray:
+        vals, counts = self.run_lengths()
+        return np.repeat(vals, counts)
+
+    def total(self) -> int:
+        vals, counts = self.run_lengths()
+        return int((vals * counts).sum())
+
+    def mask_intervals(self, intervals: list[tuple[int, int]]) -> "DepthEvents":
+        """Zero depth over intervals (gap masking, GCI.py:315-329)."""
+        out = self
+        for s, e in intervals:
+            out = out._set_range(s, e, 0)
+        return out
+
+    def _set_range(self, s: int, e: int, value: int) -> "DepthEvents":
+        s = max(0, min(s, self.length))
+        e = max(0, min(e, self.length))
+        if e <= s:
+            return self
+        b, v = self.boundaries, self.values
+        # value just before s and at e
+        left = b < s
+        right_idx = np.searchsorted(b, e, side="right") - 1
+        val_at_e = v[right_idx] if right_idx >= 0 else 0
+        keep_l = left
+        keep_r = b >= e
+        nb = np.concatenate([b[keep_l], [s], [e] if e < self.length else [], b[keep_r]])
+        nv = np.concatenate([v[keep_l], [value], [val_at_e] if e < self.length else [], v[keep_r]])
+        return DepthEvents(nb.astype(np.int64), nv.astype(np.int64), self.length)._dedup()
+
+    def maximum(self, other: "DepthEvents") -> "DepthEvents":
+        """Per-base max of two depth functions (two-type merge, GCI.py:332-353)."""
+        assert self.length == other.length
+        b = np.union1d(self.boundaries, other.boundaries)
+        va = self.values[np.searchsorted(self.boundaries, b, side="right") - 1]
+        vb = other.values[np.searchsorted(other.boundaries, b, side="right") - 1]
+        return DepthEvents(b, np.maximum(va, vb), self.length)._dedup()
+
+    def collapse(
+        self,
+        leftmost: float = -1,
+        rightmost: float = 0,
+        flank_len: int = 15,
+        start_pos: int = 0,
+    ) -> list[tuple[int, int]]:
+        """Reference-exact interval collapse (GCI.py:356-390 semantics)."""
+        L = self.length
+        n_scan = L - 2 * flank_len
+        if n_scan <= 0:
+            return []
+        next_b = np.concatenate([self.boundaries[1:], [L]])
+        lo = np.maximum(self.boundaries, flank_len)
+        hi = np.minimum(next_b, L - flank_len)
+        sel = hi > lo
+        lo, hi = lo[sel], hi[sel]
+        if lo.shape[0] == 0:
+            return []
+        m = (self.values[sel] > leftmost) & (self.values[sel] <= rightmost)
+        d = np.diff(m.astype(np.int8))
+        rs = np.flatnonzero(d == 1) + 1
+        re_ = np.flatnonzero(d == -1) + 1
+        if m[0]:
+            rs = np.concatenate([[0], rs])
+        if m[-1]:
+            re_ = np.concatenate([re_, [m.shape[0]]])
+        r_starts = lo[rs] - flank_len
+        closed = re_ < m.shape[0]
+        end_from_hi = hi[re_ - 1] - flank_len
+        r_ends = np.where(closed, end_from_hi, n_scan)
+        return runs_to_intervals(
+            r_starts.astype(np.int64), r_ends.astype(np.int64), n_scan, flank_len, start_pos
+        )
+
+    def slice(self, start: int, end: int) -> "DepthEvents":
+        """Depth over [start, end) re-based to 0 (regions support)."""
+        start = max(0, min(start, self.length))
+        end = max(start, min(end, self.length))
+        b, v = self.boundaries, self.values
+        i0 = np.searchsorted(b, start, side="right") - 1
+        i1 = np.searchsorted(b, end, side="left")
+        nb = b[i0:i1].copy()
+        nv = v[i0:i1].copy()
+        if nb.shape[0]:
+            nb[0] = start
+        nb -= start
+        return DepthEvents(nb, nv, end - start)._dedup()

@@ -111,3 +111,21 @@ def test_complement_basic():
 
 def test_complement_explicit_window():
     assert complement_intervals([(25, 30)], 0, 0, start=20, end=40) == [5, 10]
+
+
+def test_event_space_collapse_matches_per_base(rng):
+    from gci_tpu.intervals.events import collapse_depth_runs_from_events
+
+    for trial in range(60):
+        L = int(rng.integers(1, 300))
+        n = int(rng.integers(0, 40))
+        s = rng.integers(0, L, size=n)
+        e = np.minimum(s + rng.integers(1, 80, size=n), L)
+        depth = np.zeros(L, dtype=np.int64)
+        for a, b in zip(s, e):
+            depth[a:b] += 1
+        for flank in (0, 2, 15):
+            for thr in (0, 1):
+                want = collapse_depth_runs(depth, -1, thr, flank, 5)
+                got = collapse_depth_runs_from_events(s, e, L, -1, thr, flank, 5)
+                assert got == want, (trial, L, flank, thr, list(s), list(e))
