@@ -116,9 +116,10 @@ def build_parser() -> argparse.ArgumentParser:
     group_tpu = parser.add_argument_group("TPU/Runtime Options")
     group_tpu.add_argument(
         "--device", dest="depth_backend", metavar="STR",
-        choices=["auto", "device", "numpy"], default="auto",
+        choices=["auto", "device", "numpy", "events"], default="auto",
         help="Per-base depth backend: auto (TPU when available), device, "
-        "or numpy [auto]",
+        "numpy, or events (O(reads) event-space — no per-base arrays; "
+        "fastest on host, identical outputs) [auto]",
     )
     group_tpu.add_argument(
         "--profile", action="store_const", const=True, default=False,

@@ -14,10 +14,14 @@ final boundary at ``length``; boundaries[0] == 0.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import TYPE_CHECKING
 
 import numpy as np
 
 from gci_tpu.intervals.collapse import runs_to_intervals
+
+if TYPE_CHECKING:
+    from gci_tpu.depth.accum import GenomeLayout
 
 
 @dataclass
@@ -168,3 +172,30 @@ class DepthEvents:
             nb[0] = start
         nb -= start
         return DepthEvents(nb, nv, end - start)._dedup()
+
+
+def events_dict_from_reads(
+    layout: "GenomeLayout",
+    target_id: np.ndarray,
+    start: np.ndarray,
+    end: np.ndarray,
+    flank_len: int = 15,
+) -> dict[str, "DepthEvents"]:
+    """Per-target DepthEvents from curated reads (event-space depth backend).
+
+    Uses the same slice-clamp semantics as the per-base paths
+    (``clamp_read_intervals``) so outputs are bit-identical to
+    ``depths[t][start+flank : end-flank+1] += 1`` (GCI.py:302-306).
+    """
+    from gci_tpu.depth.accum import clamp_read_intervals
+
+    s, e = clamp_read_intervals(layout, target_id, start, end, flank_len)
+    order = np.argsort(target_id, kind="stable")
+    tid_sorted = target_id[order]
+    s, e = s[order], e[order]
+    bounds = np.searchsorted(tid_sorted, np.arange(len(layout.names) + 1))
+    out: dict[str, DepthEvents] = {}
+    for k, name in enumerate(layout.names):
+        lo, hi = bounds[k], bounds[k + 1]
+        out[name] = DepthEvents.from_reads(s[lo:hi], e[lo:hi], int(layout.lengths[k]))
+    return out

@@ -99,8 +99,27 @@ def collapse_depth_dict(
     flank_len: int = 15,
     start_pos: int = 0,
 ) -> dict[str, list[tuple[int, int]]]:
-    """Per-target collapse over a depth dictionary (GCI.py:356-390)."""
+    """Per-target collapse over a depth dictionary (GCI.py:356-390).
+
+    Values may be per-base arrays or event-space ``DepthEvents`` (identical
+    output either way — the event path is oracle-tested against this one).
+    """
     return {
-        target: collapse_depth_runs(depth, leftmost, rightmost, flank_len, start_pos)
+        target: collapse_depth(depth, leftmost, rightmost, flank_len, start_pos)
         for target, depth in depths.items()
     }
+
+
+def collapse_depth(
+    depth,
+    leftmost: float = -1,
+    rightmost: float = 0,
+    flank_len: int = 15,
+    start_pos: int = 0,
+) -> list[tuple[int, int]]:
+    """Collapse one target's depth — per-base array or ``DepthEvents``."""
+    from gci_tpu.depth.eventspace import DepthEvents
+
+    if isinstance(depth, DepthEvents):
+        return depth.collapse(leftmost, rightmost, flank_len, start_pos)
+    return collapse_depth_runs(depth, leftmost, rightmost, flank_len, start_pos)

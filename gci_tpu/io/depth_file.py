@@ -125,25 +125,50 @@ def _encode_uint_lines(vals: np.ndarray) -> bytes:
     return buf.tobytes()
 
 
-def write_depth_gz(path: str, depths: dict[str, np.ndarray], compresslevel: int = 6) -> None:
+def _encode_rle_lines(values: np.ndarray, counts: np.ndarray) -> bytes:
+    """'value\\n' repeated count times per run — byte-identical to per-base."""
+    parts: list[bytes] = []
+    for v, c in zip(values.tolist(), counts.tolist()):
+        parts.append(b"%d\n" % v * c)
+    return b"".join(parts)
+
+
+def _target_text(vals) -> bytes:
+    """Per-base text for one target: per-base array or DepthEvents."""
+    from gci_tpu.depth.eventspace import DepthEvents
+
+    if isinstance(vals, DepthEvents):
+        return _encode_rle_lines(*vals.run_lengths())
+    try:
+        from gci_tpu.native import encode_depth_lines_native
+
+        return encode_depth_lines_native(np.asarray(vals, dtype=np.int64))
+    except (ImportError, OSError):
+        return _encode_uint_lines(np.asarray(vals, dtype=np.int64))
+
+
+def write_depth_gz(path: str, depths: dict, compresslevel: int = 6) -> None:
     """Write the .depth.gz checkpoint (content-identical to GCI.py:113-117).
 
     The reference shards the file into per-chunk gzip members concatenated by
     ``cat`` (GCI.py:120-143); gzip readers treat concatenated members as one
     stream, so a single member with identical decompressed bytes is
-    format-compatible.
+    format-compatible.  Values may be per-base arrays or event-space
+    ``DepthEvents`` (run-length encoded straight to text, no per-base
+    materialization).
     """
+    chunks: list[bytes] = []
+    for target, vals in depths.items():
+        chunks.append(b">" + target.encode() + b"\n")
+        chunks.append(_target_text(vals))
+    text = b"".join(chunks)
     try:
-        from gci_tpu.native import bgzf_compress_native, encode_depth_lines_native
+        from gci_tpu.native import bgzf_compress_native
 
-        chunks: list[bytes] = []
-        for target, vals in depths.items():
-            chunks.append(b">" + target.encode() + b"\n")
-            chunks.append(encode_depth_lines_native(np.asarray(vals, dtype=np.int64)))
         # BGZF framing: still a valid gzip stream for the reference readers,
         # but block-indexed so our reader can inflate it in parallel.
-        blob = bgzf_compress_native(b"".join(chunks), compresslevel)
+        blob = bgzf_compress_native(text, compresslevel)
     except (ImportError, OSError):
-        blob = gzip.compress(encode_depth_text(depths), compresslevel=compresslevel)
+        blob = gzip.compress(text, compresslevel=compresslevel)
     with open(path, "wb") as f:
         f.write(blob)

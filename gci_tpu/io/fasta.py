@@ -100,11 +100,20 @@ def mask_gaps_in_depths(
     depths: dict[str, np.ndarray],
     gaps: dict[str, list[tuple[int, int]]] | None,
 ) -> dict[str, np.ndarray]:
-    """Zero depth over gap intervals in-place (reference GCI.py:315-329)."""
+    """Zero depth over gap intervals in-place (reference GCI.py:315-329).
+
+    Values may be per-base arrays or event-space ``DepthEvents``.
+    """
     if gaps is None:
         return depths
+    from gci_tpu.depth.eventspace import DepthEvents
+
     for target, segments in gaps.items():
         if target in depths:
-            for start, end in segments:
-                depths[target][start:end] = 0
+            d = depths[target]
+            if isinstance(d, DepthEvents):
+                depths[target] = d.mask_intervals(segments)
+            else:
+                for start, end in segments:
+                    d[start:end] = 0
     return depths

@@ -158,11 +158,18 @@ def run_filter(
     with stage(
         f"{log_reads_type}:depth_accumulate", items=int(curated.start.shape[0]), unit="reads"
     ):
-        flat = accumulate_depth(
-            layout, curated.target_id, curated.start, curated.end, flank_len,
-            backend=depth_backend,
-        )
-    depths = depth_dict_from_flat(layout, flat)
+        if depth_backend == "events":
+            from gci_tpu.depth.eventspace import events_dict_from_reads
+
+            depths = events_dict_from_reads(
+                layout, curated.target_id, curated.start, curated.end, flank_len
+            )
+        else:
+            flat = accumulate_depth(
+                layout, curated.target_id, curated.start, curated.end, flank_len,
+                backend=depth_backend,
+            )
+            depths = depth_dict_from_flat(layout, flat)
 
     print(f"Filtering {log_reads_type} alignment files done!!!")
     print(f'Writing depths into "{directory}/{prefix}.depth.gz" ...')
@@ -182,8 +189,12 @@ def merge_two_type_depths(
     """Per-base max of the two read types (GCI.py:332-353) + checkpoint."""
     print("Merging HiFi and ONT depth file ...")
     _require_writable(f"{directory}/{prefix}.depth.gz", force)
+    from gci_tpu.depth.eventspace import DepthEvents
+
     merged = {
-        t: np.maximum(d, nano_depths[t]) for t, d in hifi_depths.items()
+        t: d.maximum(nano_depths[t]) if isinstance(d, DepthEvents)
+        else np.maximum(d, nano_depths[t])
+        for t, d in hifi_depths.items()
     }
     write_depth_gz(f"{directory}/{prefix}.depth.gz", merged)
     print("Merging HiFi and ONT depth file done!!!\n\n")

@@ -13,6 +13,7 @@ import sys
 
 import numpy as np
 
+from gci_tpu.depth.eventspace import DepthEvents
 from gci_tpu.intervals import (
     collapse_depth_runs,
     complement_dict,
@@ -143,8 +144,11 @@ def _regions_report(
                 )
             gci_row = []
             for i, depthss in enumerate(depths_list):
-                region_depth = depthss[target][start:end]
-                intervals = collapse_depth_runs(region_depth, -1, threshold, 0, start)
+                d = depthss[target]
+                if isinstance(d, DepthEvents):
+                    intervals = d.slice(start, end).collapse(-1, threshold, 0, start)
+                else:
+                    intervals = collapse_depth_runs(d[start:end], -1, threshold, 0, start)
                 obs_lengths = _complement_one(intervals, start, end)
                 obs_n50 = compute_n50(obs_lengths)
                 if exp_n50 > 0:

@@ -255,6 +255,17 @@ def plot_depth_files(
         sys.exit("ERROR!!! The format of output images only supports pdf and png")
     save_dir = f"{directory}/images" if images_subdir else directory
 
+    # plotting windows over per-base values; materialize any event-space depth
+    from gci_tpu.depth.eventspace import DepthEvents
+
+    depths_list = [
+        {
+            t: d.materialize() if isinstance(d, DepthEvents) else d
+            for t, d in dd.items()
+        }
+        for dd in depths_list
+    ]
+
     if depth_mean is not None:
         mean_depths = depth_mean
     else:
