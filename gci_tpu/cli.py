@@ -190,6 +190,10 @@ def main(argv: list[str] | None = None) -> None:
     validate_args(args)
     print(f"Used arguments:{args}")
 
+    from gci_tpu.utils.jaxcache import enable_compile_cache
+
+    enable_compile_cache()
+
     from gci_tpu.pipeline import run_gci
 
     run_gci(**args)

@@ -229,7 +229,10 @@ def run_gci(
     profile_trace: str | None = None,
 ) -> None:
     """Whole run: the reference's driver semantics (GCI.py:897-1028)."""
+    from gci_tpu.utils.jaxcache import enable_compile_cache
     from gci_tpu.utils.metrics import get_metrics, maybe_jax_trace
+
+    enable_compile_cache()
 
     with maybe_jax_trace(profile_trace):
         _run_gci_inner(
