@@ -14,6 +14,20 @@ import numpy as np
 _CIGAR_OPS = "MIDNSHP=X"
 _SEQ_CODE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
 
+# byte -> 4-bit code lookup (unknown bases -> N=15), upper and lower case
+_SEQ_LUT = np.full(256, 15, dtype=np.uint8)
+for _c, _i in _SEQ_CODE.items():
+    _SEQ_LUT[ord(_c)] = _i
+    _SEQ_LUT[ord(_c.lower())] = _i
+
+
+def _pack_seq(seq: str) -> bytes:
+    """4-bit pack a base string (vectorized; the hot part of record encode)."""
+    codes = _SEQ_LUT[np.frombuffer(seq.encode(), dtype=np.uint8)]
+    if codes.shape[0] % 2:
+        codes = np.concatenate([codes, np.zeros(1, np.uint8)])
+    return ((codes[0::2] << 4) | codes[1::2]).tobytes()
+
 
 def encode_cigar(cigar: str) -> list[int]:
     """'100M2I3S' -> BAM op words (len<<4 | op)."""
@@ -73,11 +87,9 @@ def build_record(
     implied = sum(c >> 4 for c in ops if (c & 0xF) in q_consume)
     l_seq = implied if seq_len is None else seq_len
     if seq is None:
-        seq = "A" * l_seq
-    packed_seq = bytearray((l_seq + 1) // 2)
-    for i, ch in enumerate(seq):
-        code = _SEQ_CODE.get(ch.upper(), 15)
-        packed_seq[i // 2] |= code << (4 if i % 2 == 0 else 0)
+        packed_seq = b"\x11" * (l_seq // 2) + (b"\x10" if l_seq % 2 else b"")  # all 'A'
+    else:
+        packed_seq = _pack_seq(seq)
     qual = b"\xff" * l_seq
     name_z = name + b"\x00"
     tags = b""

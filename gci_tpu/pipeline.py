@@ -158,7 +158,13 @@ def run_filter(
     with stage(
         f"{log_reads_type}:depth_accumulate", items=int(curated.start.shape[0]), unit="reads"
     ):
-        if depth_backend == "events":
+        # "auto" = event-space: the per-read piecewise-constant form is the
+        # O(reads) algorithm for this flow (reads ≪ bases, and the .depth.gz
+        # checkpoint is host-bound regardless), 8x faster end-to-end than
+        # materializing the per-base axis.  "device"/"numpy" force the
+        # per-base genome-axis backends (the device one is what the sharded
+        # multi-chip scale-out and bench.py exercise).
+        if depth_backend in ("events", "auto"):
             from gci_tpu.depth.eventspace import events_dict_from_reads
 
             depths = events_dict_from_reads(

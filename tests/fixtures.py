@@ -46,7 +46,8 @@ def make_bam(path, references, lengths, reads):
             reads[k].get("pos", 0),
         ),
     )
-    write_bam(path, references, lengths, [recs[k] for k in order])
+    # level 1: fixture BAMs are write-once scratch data, favor speed
+    write_bam(path, references, lengths, [recs[k] for k in order], level=1)
 
 
 def make_paf(path, rows):
