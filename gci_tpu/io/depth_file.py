@@ -13,6 +13,7 @@ implementation is the always-available fallback and the behavioral spec.
 from __future__ import annotations
 
 import gzip
+import os
 
 import numpy as np
 
@@ -127,6 +128,12 @@ def _encode_uint_lines(vals: np.ndarray) -> bytes:
 
 def _encode_rle_lines(values: np.ndarray, counts: np.ndarray) -> bytes:
     """'value\\n' repeated count times per run — byte-identical to per-base."""
+    try:
+        from gci_tpu.native import encode_depth_runs_native
+
+        return encode_depth_runs_native(values, counts)
+    except (ImportError, OSError):
+        pass
     parts: list[bytes] = []
     for v, c in zip(values.tolist(), counts.tolist()):
         parts.append(b"%d\n" % v * c)
@@ -157,18 +164,44 @@ def write_depth_gz(path: str, depths: dict, compresslevel: int = 6) -> None:
     ``DepthEvents`` (run-length encoded straight to text, no per-base
     materialization).
     """
+    from gci_tpu.depth.eventspace import DepthEvents
+
+    try:
+        from gci_tpu.native import (
+            bgzf_compress_native,
+            bgzf_eof_native,
+            depth_runs_to_bgzf_native,
+        )
+
+        # BGZF framing: still a valid gzip stream for the reference readers,
+        # but block-indexed so our reader can inflate it in parallel.
+        # Event-space targets stream through the fused C++ encode+compress
+        # (the expanded per-base text never crosses into Python); per-base
+        # arrays take the text-then-compress path.
+        nthreads = os.cpu_count() or 1
+        with open(path, "wb") as f:
+            for target, vals in depths.items():
+                header = b">" + target.encode() + b"\n"
+                if isinstance(vals, DepthEvents):
+                    values, counts = vals.run_lengths()
+                    f.write(
+                        depth_runs_to_bgzf_native(
+                            values, counts, header, compresslevel, nthreads
+                        )
+                    )
+                else:
+                    text = header + _target_text(vals)
+                    blob = bgzf_compress_native(text, compresslevel, nthreads)
+                    f.write(blob[:-28])  # strip the per-call EOF block
+            f.write(bgzf_eof_native())
+        return
+    except (ImportError, OSError):
+        pass
     chunks: list[bytes] = []
     for target, vals in depths.items():
         chunks.append(b">" + target.encode() + b"\n")
         chunks.append(_target_text(vals))
     text = b"".join(chunks)
-    try:
-        from gci_tpu.native import bgzf_compress_native
-
-        # BGZF framing: still a valid gzip stream for the reference readers,
-        # but block-indexed so our reader can inflate it in parallel.
-        blob = bgzf_compress_native(text, compresslevel)
-    except (ImportError, OSError):
-        blob = gzip.compress(text, compresslevel=compresslevel)
+    blob = gzip.compress(text, compresslevel=compresslevel)
     with open(path, "wb") as f:
         f.write(blob)

@@ -96,6 +96,24 @@ def scan_fasta_gaps(path: str) -> dict[str, list[tuple[int, int]]] | None:
     return gaps if gaps else None
 
 
+def scan_fasta(
+    path: str,
+) -> tuple[dict[str, int], dict[str, list[tuple[int, int]]] | None]:
+    """ONE-pass scan: (record->length, N-gap dict or None).
+
+    Serves both the reference's record consistency check (GCI.py:939-941)
+    and get_Ns_ref (GCI.py:18-46) with a single file read.  Native C++
+    scanner when available, numpy fallback otherwise.
+    """
+    try:
+        from gci_tpu.native import scan_fasta_native
+
+        lengths, gaps = scan_fasta_native(path)
+        return lengths, (gaps if gaps else None)
+    except (ImportError, OSError):
+        return read_fasta_lengths(path), scan_fasta_gaps(path)
+
+
 def mask_gaps_in_depths(
     depths: dict[str, np.ndarray],
     gaps: dict[str, list[tuple[int, int]]] | None,

@@ -59,6 +59,12 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.gci_depth_copy_target.argtypes = [c.c_void_p, c.c_int64, i64p]
     lib.gci_depth_encode_lines.restype = c.c_void_p
     lib.gci_depth_encode_lines.argtypes = [i64p, c.c_int64]
+    lib.gci_depth_encode_runs.restype = c.c_void_p
+    lib.gci_depth_encode_runs.argtypes = [i64p, i64p, c.c_int64]
+    lib.gci_depth_runs_to_bgzf.restype = c.c_void_p
+    lib.gci_depth_runs_to_bgzf.argtypes = [i64p, i64p, c.c_int64, u8p, c.c_int64, c.c_int, c.c_int]
+    lib.gci_bgzf_eof_block.restype = c.c_void_p
+    lib.gci_bgzf_eof_block.argtypes = []
     lib.gci_bam_open.restype = c.c_void_p
     lib.gci_bam_open.argtypes = [c.c_char_p, c.c_int, c.c_int, c.c_int]
     lib.gci_bam_free.argtypes = [c.c_void_p]
@@ -99,6 +105,20 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.gci_paf_target_blob_size.argtypes = [c.c_void_p]
     lib.gci_paf_copy_names.argtypes = [c.c_void_p, u8p, i64p]
     lib.gci_paf_copy_targets.argtypes = [c.c_void_p, u8p, i64p]
+    lib.gci_fasta_scan.restype = c.c_void_p
+    lib.gci_fasta_scan.argtypes = [c.c_char_p]
+    lib.gci_fasta_free.argtypes = [c.c_void_p]
+    lib.gci_fasta_error.restype = c.c_char_p
+    lib.gci_fasta_error.argtypes = [c.c_void_p]
+    lib.gci_fasta_num_targets.restype = c.c_int64
+    lib.gci_fasta_num_targets.argtypes = [c.c_void_p]
+    lib.gci_fasta_target_name.restype = c.c_char_p
+    lib.gci_fasta_target_name.argtypes = [c.c_void_p, c.c_int64]
+    lib.gci_fasta_target_len.restype = c.c_int64
+    lib.gci_fasta_target_len.argtypes = [c.c_void_p, c.c_int64]
+    lib.gci_fasta_num_gaps.restype = c.c_int64
+    lib.gci_fasta_num_gaps.argtypes = [c.c_void_p]
+    lib.gci_fasta_copy_gaps.argtypes = [c.c_void_p, i64p, i64p, i64p]
 
 
 def get_lib() -> ctypes.CDLL:
@@ -166,6 +186,40 @@ def encode_depth_lines_native(vals: np.ndarray) -> bytes:
     vals = np.ascontiguousarray(vals, dtype=np.int64)
     h = lib.gci_depth_encode_lines(_as_ptr(vals, ctypes.c_int64), vals.shape[0])
     return _take_buffer(lib, h)
+
+
+def encode_depth_runs_native(vals: np.ndarray, counts: np.ndarray) -> bytes:
+    """Run-length 'value\\n'xcount text via C++ (event-space serializer)."""
+    lib = get_lib()
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    h = lib.gci_depth_encode_runs(
+        _as_ptr(vals, ctypes.c_int64), _as_ptr(counts, ctypes.c_int64),
+        vals.shape[0],
+    )
+    return _take_buffer(lib, h)
+
+
+def depth_runs_to_bgzf_native(
+    vals: np.ndarray, counts: np.ndarray, header: bytes,
+    level: int = 6, nthreads: int = 4,
+) -> bytes:
+    """header + run-length depth text, BGZF-compressed (no EOF block)."""
+    lib = get_lib()
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    hdr = np.frombuffer(header, dtype=np.uint8)
+    h = lib.gci_depth_runs_to_bgzf(
+        _as_ptr(vals, ctypes.c_int64), _as_ptr(counts, ctypes.c_int64),
+        vals.shape[0], _as_ptr(hdr, ctypes.c_uint8), hdr.shape[0],
+        level, nthreads,
+    )
+    return _take_buffer(lib, h)
+
+
+def bgzf_eof_native() -> bytes:
+    lib = get_lib()
+    return _take_buffer(lib, lib.gci_bgzf_eof_block())
 
 
 def gzip_compress_native(data: bytes, level: int = 6) -> bytes:
@@ -312,3 +366,37 @@ class NativeBam:
                 self.record_offsets = None
         finally:
             lib.gci_bam_free(h)
+
+
+def scan_fasta_native(path: str) -> tuple[dict[str, int], dict[str, list[tuple[int, int]]]]:
+    """One-pass FASTA scan: (record->length, record->N-gap intervals).
+
+    Gap dict only contains records that have gaps (GCI.py:18-46 semantics);
+    raises OSError on unreadable/corrupt input so callers can fall back.
+    """
+    lib = get_lib()
+    h = lib.gci_fasta_scan(path.encode())
+    if not h:
+        raise OSError(f"gci_fasta_scan failed for {path}")
+    try:
+        err = lib.gci_fasta_error(h)
+        if err:
+            raise OSError(f"gci_fasta_scan: {err.decode()}: {path}")
+        nt = lib.gci_fasta_num_targets(h)
+        names = [lib.gci_fasta_target_name(h, i).decode() for i in range(nt)]
+        lengths = {names[i]: int(lib.gci_fasta_target_len(h, i)) for i in range(nt)}
+        ng = lib.gci_fasta_num_gaps(h)
+        gaps: dict[str, list[tuple[int, int]]] = {}
+        if ng:
+            tgt = np.empty(ng, np.int64)
+            gs = np.empty(ng, np.int64)
+            ge = np.empty(ng, np.int64)
+            lib.gci_fasta_copy_gaps(
+                h, _as_ptr(tgt, ctypes.c_int64), _as_ptr(gs, ctypes.c_int64),
+                _as_ptr(ge, ctypes.c_int64),
+            )
+            for k in range(ng):
+                gaps.setdefault(names[int(tgt[k])], []).append((int(gs[k]), int(ge[k])))
+        return lengths, gaps
+    finally:
+        lib.gci_fasta_free(h)

@@ -892,8 +892,8 @@ GCI_API void gci_bam_copy_header_text(void* h, uint8_t* out) {
 // ===========================================================================
 // BGZF writer (for BAM export): compress `data` into BGZF blocks + EOF marker
 // ===========================================================================
-GCI_API void* gci_bgzf_compress(const uint8_t* data, int64_t n, int level,
-                                int nthreads) {
+static bool bgzf_compress_core(const uint8_t* data, int64_t n, int level,
+                               int nthreads, std::vector<uint8_t>& result) {
   const size_t CHUNK = 0xff00;  // htslib's per-block payload size
   size_t nblocks = (size_t)((n + CHUNK - 1) / CHUNK);
   std::vector<std::vector<uint8_t>> outs(nblocks);
@@ -948,16 +948,227 @@ GCI_API void* gci_bgzf_compress(const uint8_t* data, int64_t n, int level,
     for (int t = 0; t < nthreads; t++) ts.emplace_back(worker);
     for (auto& t : ts) t.join();
   }
-  if (!ok.load()) return nullptr;
-  auto* b = new Buffer();
+  if (!ok.load()) return false;
   size_t total = 0;
   for (auto& o : outs) total += o.size();
-  static const uint8_t EOF_BLOCK[28] = {
-      0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff,
-      0x06, 0x00, 0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
-      0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00};
-  b->data.reserve(total + sizeof(EOF_BLOCK));
-  for (auto& o : outs) b->data.insert(b->data.end(), o.begin(), o.end());
-  b->data.insert(b->data.end(), EOF_BLOCK, EOF_BLOCK + sizeof(EOF_BLOCK));
+  result.reserve(result.size() + total);
+  for (auto& o : outs) result.insert(result.end(), o.begin(), o.end());
+  return true;
+}
+
+static const uint8_t BGZF_EOF_BLOCK[28] = {
+    0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff,
+    0x06, 0x00, 0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
+    0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00};
+
+GCI_API void* gci_bgzf_compress(const uint8_t* data, int64_t n, int level,
+                                int nthreads) {
+  auto* b = new Buffer();
+  if (!bgzf_compress_core(data, n, level, nthreads, b->data)) {
+    delete b;
+    return nullptr;
+  }
+  b->data.insert(b->data.end(), BGZF_EOF_BLOCK,
+                 BGZF_EOF_BLOCK + sizeof(BGZF_EOF_BLOCK));
+  return b;
+}
+
+// ===========================================================================
+// FASTA scanner: ONE pass -> per-record lengths + maximal N/n gap runs
+// (behavior spec: GCI.py:18-46 get_Ns_ref; also serves the record-length
+// consistency scan at GCI.py:939-941 without a second file read)
+// ===========================================================================
+struct FastaScan {
+  std::string error;
+  std::vector<std::string> names;
+  std::vector<int64_t> lengths;
+  std::vector<int64_t> gap_target;  // index into names
+  std::vector<int64_t> gap_start;
+  std::vector<int64_t> gap_end;
+};
+
+GCI_API void* gci_fasta_scan(const char* path) {
+  auto* fs = new FastaScan();
+  std::vector<uint8_t> file;
+  if (!read_file(path, file)) {
+    fs->error = "cannot read file";
+    return fs;
+  }
+  std::vector<uint8_t> plain;
+  const uint8_t* p = file.data();
+  size_t n = file.size();
+  if (n >= 2 && p[0] == 0x1f && p[1] == 0x8b) {
+    if (!gzip_inflate_all(p, n, plain)) {
+      fs->error = "bad gzip stream";
+      return fs;
+    }
+    p = plain.data();
+    n = plain.size();
+  }
+  bool in_header = false, at_line_start = true, in_run = false;
+  bool have_record = false;
+  int64_t pos = 0, run_start = 0;
+  std::string hdr;
+  auto close_run = [&]() {
+    if (in_run) {
+      fs->gap_target.push_back((int64_t)fs->names.size() - 1);
+      fs->gap_start.push_back(run_start);
+      fs->gap_end.push_back(pos);
+      in_run = false;
+    }
+  };
+  auto finish_record = [&]() {
+    close_run();
+    if (have_record) fs->lengths.back() = pos;
+  };
+  for (size_t k = 0; k < n; k++) {
+    uint8_t b = p[k];
+    if (b == '\n') {
+      if (in_header) {
+        // record id = first whitespace-delimited token
+        size_t sp = hdr.find_first_of(" \t\r");
+        fs->names.push_back(sp == std::string::npos ? hdr : hdr.substr(0, sp));
+        fs->lengths.push_back(0);
+        in_header = false;
+      }
+      at_line_start = true;
+      continue;
+    }
+    if (in_header) {
+      hdr.push_back((char)b);
+      at_line_start = false;
+      continue;
+    }
+    if (b == '>' && at_line_start) {
+      finish_record();
+      have_record = true;
+      pos = 0;
+      in_header = true;
+      hdr.clear();
+      continue;
+    }
+    at_line_start = false;
+    if (b == '\r' || b == ' ' || b == '\t') continue;
+    if (!have_record) continue;  // junk before the first header
+    if (b == 'N' || b == 'n') {
+      if (!in_run) {
+        run_start = pos;
+        in_run = true;
+      }
+    } else if (in_run) {
+      close_run();
+    }
+    pos++;
+  }
+  if (in_header && !hdr.empty()) {  // header line without trailing newline
+    size_t sp = hdr.find_first_of(" \t\r");
+    fs->names.push_back(sp == std::string::npos ? hdr : hdr.substr(0, sp));
+    fs->lengths.push_back(0);
+    pos = 0;
+    have_record = true;
+  }
+  finish_record();
+  return fs;
+}
+
+GCI_API void gci_fasta_free(void* h) { delete (FastaScan*)h; }
+GCI_API const char* gci_fasta_error(void* h) {
+  auto* fs = (FastaScan*)h;
+  return fs->error.empty() ? nullptr : fs->error.c_str();
+}
+GCI_API int64_t gci_fasta_num_targets(void* h) {
+  return (int64_t)((FastaScan*)h)->names.size();
+}
+GCI_API const char* gci_fasta_target_name(void* h, int64_t i) {
+  return ((FastaScan*)h)->names[(size_t)i].c_str();
+}
+GCI_API int64_t gci_fasta_target_len(void* h, int64_t i) {
+  return ((FastaScan*)h)->lengths[(size_t)i];
+}
+GCI_API int64_t gci_fasta_num_gaps(void* h) {
+  return (int64_t)((FastaScan*)h)->gap_target.size();
+}
+GCI_API void gci_fasta_copy_gaps(void* h, int64_t* tgt, int64_t* start,
+                                 int64_t* end) {
+  auto* fs = (FastaScan*)h;
+  size_t m = fs->gap_target.size();
+  if (!m) return;
+  memcpy(tgt, fs->gap_target.data(), m * sizeof(int64_t));
+  memcpy(start, fs->gap_start.data(), m * sizeof(int64_t));
+  memcpy(end, fs->gap_end.data(), m * sizeof(int64_t));
+}
+
+// Encode run-length (value, count) pairs to "v\n" repeated count times.
+// The O(runs) serialization partner of the event-space depth backend.
+static void encode_runs_core(const int64_t* vals, const int64_t* counts,
+                             int64_t n, std::vector<uint8_t>& out) {
+  char line[32];
+  for (int64_t i = 0; i < n; i++) {
+    int64_t c = counts[i];
+    if (c <= 0) continue;
+    int64_t v = vals[i];
+    int len = 0;
+    if (v == 0) {
+      line[len++] = '0';
+    } else {
+      char rev[24];
+      int r = 0;
+      while (v > 0) {
+        rev[r++] = (char)('0' + (v % 10));
+        v /= 10;
+      }
+      while (r > 0) line[len++] = rev[--r];
+    }
+    line[len++] = '\n';
+    // grow by doubling the already-written pattern (memcpy-bandwidth repeat)
+    size_t start = out.size();
+    size_t want = (size_t)len * (size_t)c;
+    out.resize(start + want);
+    memcpy(out.data() + start, line, (size_t)len);
+    size_t done = (size_t)len;
+    while (done < want) {
+      size_t chunk = std::min(done, want - done);
+      memcpy(out.data() + start + done, out.data() + start, chunk);
+      done += chunk;
+    }
+  }
+}
+
+GCI_API void* gci_depth_encode_runs(const int64_t* vals, const int64_t* counts,
+                                    int64_t n) {
+  auto* b = new Buffer();
+  int64_t total = 0;
+  for (int64_t i = 0; i < n; i++) total += counts[i];
+  b->data.reserve((size_t)total * 2 + 16);
+  encode_runs_core(vals, counts, n, b->data);
+  return b;
+}
+
+// Fused: "header" bytes + run-length text -> BGZF blocks (no EOF marker),
+// never surfacing the expanded per-base text to the caller.  write_depth_gz
+// streams one of these per target and appends the EOF block at the end.
+GCI_API void* gci_depth_runs_to_bgzf(const int64_t* vals,
+                                     const int64_t* counts, int64_t n,
+                                     const uint8_t* header,
+                                     int64_t header_len, int level,
+                                     int nthreads) {
+  std::vector<uint8_t> text;
+  int64_t total = header_len;
+  for (int64_t i = 0; i < n; i++) total += counts[i];
+  text.reserve((size_t)total * 2 + 16);
+  if (header_len) text.insert(text.end(), header, header + header_len);
+  encode_runs_core(vals, counts, n, text);
+  auto* b = new Buffer();
+  if (!bgzf_compress_core(text.data(), (int64_t)text.size(), level, nthreads,
+                          b->data)) {
+    delete b;
+    return nullptr;
+  }
+  return b;
+}
+
+GCI_API void* gci_bgzf_eof_block() {
+  auto* b = new Buffer();
+  b->data.assign(BGZF_EOF_BLOCK, BGZF_EOF_BLOCK + sizeof(BGZF_EOF_BLOCK));
   return b;
 }

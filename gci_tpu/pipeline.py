@@ -32,7 +32,7 @@ from gci_tpu.filters import (
 from gci_tpu.filters.cascade import high_qual_keys
 from gci_tpu.io.bam import read_bam
 from gci_tpu.io.depth_file import write_depth_gz
-from gci_tpu.io.fasta import mask_gaps_in_depths, scan_fasta_gaps
+from gci_tpu.io.fasta import mask_gaps_in_depths, scan_fasta
 from gci_tpu.io.names import hash_names, keys_view
 from gci_tpu.io.paf import read_paf
 from gci_tpu.reports import emit_gaps_bed, emit_issue_bed
@@ -260,7 +260,6 @@ def _run_gci_inner(
 ) -> None:
     from gci_tpu.io.bed import read_bed_dict
     from gci_tpu.io.bam import read_bam_header
-    from gci_tpu.io.fasta import read_fasta_lengths
 
     chrs_list = chrs.strip().split(",") if chrs is not None else []
 
@@ -295,7 +294,11 @@ def _run_gci_inner(
             os.makedirs(img_dir)
         image_type = image_type.lower()
 
-    ref_refs = list(read_fasta_lengths(reference).keys())
+    # ONE pass over the reference: record ids (consistency checks,
+    # GCI.py:939-941) AND the N-gap scan (GCI.py:983-988) together
+    with stage("fasta_scan"):
+        ref_lengths, gaps = scan_fasta(reference)
+    ref_refs = list(ref_lengths.keys())
     for i in chrs_list:
         if i not in ref_refs:
             sys.exit(f'ERROR!!! Chromosome "{i}" provided by `--chrs` is not in the reference')
@@ -342,7 +345,6 @@ def _run_gci_inner(
             )
 
     print("Finding gaps ...")
-    gaps = scan_fasta_gaps(reference)
     gaps_path = emit_gaps_bed(gaps, prefix, directory, force)
     if gaps_path is not None:
         print(f"Finding gaps done!!! The gaps are in {gaps_path}\n\n")

@@ -15,7 +15,7 @@ import sys
 
 from gci_tpu.io.bed import read_bed_dict
 from gci_tpu.io.depth_file import read_depth_gz
-from gci_tpu.io.fasta import mask_gaps_in_depths, read_fasta_lengths, scan_fasta_gaps
+from gci_tpu.io.fasta import mask_gaps_in_depths, scan_fasta
 from gci_tpu.reports import emit_gaps_bed
 
 
@@ -40,14 +40,14 @@ def run_plot(
     image_type = image_type.lower()
 
     print("Finding gaps ...")
-    gaps = scan_fasta_gaps(reference)
+    ref_lengths, gaps = scan_fasta(reference)
     gaps_path = emit_gaps_bed(gaps, prefix, directory, force)
     if gaps_path is not None:
         print(f"Finding gaps done!!! The gaps are in {gaps_path}\n\n")
     else:
         print("Finding gaps done!!! Awesome! No gaps were found!\n\n")
 
-    ref_refs = list(read_fasta_lengths(reference).keys())
+    ref_refs = list(ref_lengths.keys())
     loaded = {}
     lengths = {}
     for kind, path, label in (("hifi", hifi, "hifi"), ("nano", nano, "ont")):

@@ -17,7 +17,7 @@ import numpy as np
 
 from gci_tpu.io.bed import read_bed_dict
 from gci_tpu.io.depth_file import read_depth_gz
-from gci_tpu.io.fasta import mask_gaps_in_depths, read_fasta_lengths, scan_fasta_gaps
+from gci_tpu.io.fasta import mask_gaps_in_depths, scan_fasta
 from gci_tpu.reports import emit_gaps_bed, emit_issue_bed
 from gci_tpu.score.report import compute_continuity_report
 
@@ -82,7 +82,7 @@ def run_score(
     if prefix.endswith("/"):
         sys.exit(f'ERROR!!! The prefix "{prefix}" is not allowed')
 
-    ref_refs = read_fasta_lengths(reference)
+    ref_refs, _ref_gaps = scan_fasta(reference)
     for i in chrs_list:
         if i not in ref_refs:
             sys.exit(f'ERROR!!! Chromosome "{i}" provided by `--chrs` is not in the reference')
@@ -96,7 +96,7 @@ def run_score(
         )
 
     print("Finding gaps ...")
-    gaps = scan_fasta_gaps(reference)
+    gaps = _ref_gaps
     gaps_path = emit_gaps_bed(gaps, prefix, directory, force)
     if gaps_path is not None:
         print(f"Finding gaps done!!! The gaps are in {gaps_path}\n\n")
