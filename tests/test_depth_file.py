@@ -44,3 +44,36 @@ def test_decode_tolerates_concatenated_members(tmp_path):
 def test_decode_large_values():
     got = decode_depth_text(b">x\n1234567\n0\n99\n")
     np.testing.assert_array_equal(got["x"], [1234567, 0, 99])
+
+
+def test_events_write_roundtrip_and_gzip_compat(tmp_path, rng):
+    """Streamed fused write (DepthEvents) == per-base write, and a plain
+    gzip reader (the reference's access pattern) sees identical text."""
+    from gci_tpu.depth.eventspace import DepthEvents
+
+    arrs = {
+        "c1": rng.integers(0, 70, size=5000).astype(np.int64),
+        "c2": np.concatenate([np.zeros(17, np.int64), rng.integers(0, 3, size=999)]),
+        "void": np.zeros(0, dtype=np.int64),
+    }
+    events = {}
+    for k, a in arrs.items():
+        if a.size:
+            b = np.flatnonzero(np.diff(a) != 0) + 1
+            bounds = np.concatenate(([0], b))
+            events[k] = DepthEvents(bounds, a[bounds], int(a.size))
+        else:
+            events[k] = DepthEvents(np.zeros(1, np.int64), np.zeros(1, np.int64), 0)
+
+    p1 = str(tmp_path / "a.depth.gz")
+    p2 = str(tmp_path / "b.depth.gz")
+    write_depth_gz(p1, arrs)
+    write_depth_gz(p2, events)
+    with gzip.open(p1, "rb") as f:
+        t1 = f.read()
+    with gzip.open(p2, "rb") as f:
+        t2 = f.read()
+    assert t1 == t2  # decompressed text identical across the two writers
+    got, _ = read_depth_gz(p2)
+    for k, a in arrs.items():
+        np.testing.assert_array_equal(got[k], a)
