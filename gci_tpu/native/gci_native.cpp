@@ -14,6 +14,11 @@
 
 #include <zlib.h>
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 #include <atomic>
 #include <chrono>
 #include <condition_variable>
@@ -989,26 +994,51 @@ struct FastaScan {
 
 GCI_API void* gci_fasta_scan(const char* path) {
   auto* fs = new FastaScan();
-  std::vector<uint8_t> file;
-  if (!read_file(path, file)) {
+  // plain files are mmapped (no copy, kernel readahead); gzip inflates to RAM
+  std::vector<uint8_t> plain;
+  const uint8_t* p = nullptr;
+  size_t n = 0;
+  int fd = open(path, O_RDONLY);
+  void* map = MAP_FAILED;
+  size_t map_len = 0;
+  if (fd < 0) {
     fs->error = "cannot read file";
     return fs;
   }
-  std::vector<uint8_t> plain;
-  const uint8_t* p = file.data();
-  size_t n = file.size();
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size < 0) {
+    close(fd);
+    fs->error = "cannot stat file";
+    return fs;
+  }
+  map_len = (size_t)st.st_size;
+  if (map_len == 0) {
+    close(fd);
+    return fs;
+  }
+  map = mmap(nullptr, map_len, PROT_READ, MAP_PRIVATE, fd, 0);
+  close(fd);
+  if (map == MAP_FAILED) {
+    fs->error = "mmap failed";
+    return fs;
+  }
+  madvise(map, map_len, MADV_SEQUENTIAL);
+  p = (const uint8_t*)map;
+  n = map_len;
   if (n >= 2 && p[0] == 0x1f && p[1] == 0x8b) {
-    if (!gzip_inflate_all(p, n, plain)) {
+    bool ok = gzip_inflate_all(p, n, plain);
+    munmap(map, map_len);
+    map = MAP_FAILED;
+    if (!ok) {
       fs->error = "bad gzip stream";
       return fs;
     }
     p = plain.data();
     n = plain.size();
   }
-  bool in_header = false, at_line_start = true, in_run = false;
-  bool have_record = false;
+
+  bool in_run = false, have_record = false;
   int64_t pos = 0, run_start = 0;
-  std::string hdr;
   auto close_run = [&]() {
     if (in_run) {
       fs->gap_target.push_back((int64_t)fs->names.size() - 1);
@@ -1021,53 +1051,79 @@ GCI_API void* gci_fasta_scan(const char* path) {
     close_run();
     if (have_record) fs->lengths.back() = pos;
   };
-  for (size_t k = 0; k < n; k++) {
-    uint8_t b = p[k];
-    if (b == '\n') {
-      if (in_header) {
-        // record id = first whitespace-delimited token
-        size_t sp = hdr.find_first_of(" \t\r");
-        fs->names.push_back(sp == std::string::npos ? hdr : hdr.substr(0, sp));
+
+  const uint8_t* cur = p;
+  const uint8_t* endp = p + n;
+  while (cur < endp) {
+    const uint8_t* nl = (const uint8_t*)memchr(cur, '\n', (size_t)(endp - cur));
+    const uint8_t* le = nl ? nl : endp;
+    size_t llen = (size_t)(le - cur);
+    if (llen && le[-1] == '\r') llen--;
+    if (llen) {
+      if (cur[0] == '>') {
+        finish_record();
+        size_t sp = 1;
+        while (sp < llen && cur[sp] != ' ' && cur[sp] != '\t') sp++;
+        fs->names.emplace_back((const char*)cur + 1, sp - 1);
         fs->lengths.push_back(0);
-        in_header = false;
+        have_record = true;
+        pos = 0;
+      } else if (have_record) {
+        if (memchr(cur, ' ', llen) || memchr(cur, '\t', llen) ||
+            memchr(cur, '\r', llen)) {
+          // rare: interior whitespace; per-byte fallback for this line
+          for (size_t k = 0; k < llen; k++) {
+            uint8_t b = cur[k];
+            if (b == '\r' || b == ' ' || b == '\t') continue;
+            if (b == 'N' || b == 'n') {
+              if (!in_run) {
+                run_start = pos;
+                in_run = true;
+              }
+            } else if (in_run) {
+              close_run();
+            }
+            pos++;
+          }
+        } else {
+          // fast path: memchr-skip non-N bases (SIMD under the hood)
+          size_t off = 0;
+          while (off < llen) {
+            const uint8_t* pN =
+                (const uint8_t*)memchr(cur + off, 'N', llen - off);
+            const uint8_t* pn =
+                (const uint8_t*)memchr(cur + off, 'n', llen - off);
+            const uint8_t* px =
+                (pN && pn) ? (pN < pn ? pN : pn) : (pN ? pN : pn);
+            if (!px) {
+              if (in_run) close_run();
+              pos += (int64_t)(llen - off);
+              break;
+            }
+            size_t non_n = (size_t)(px - (cur + off));
+            if (non_n) {
+              if (in_run) close_run();
+              pos += (int64_t)non_n;
+            }
+            size_t k = (size_t)(px - cur);
+            if (!in_run) {
+              run_start = pos;
+              in_run = true;
+            }
+            while (k < llen && (cur[k] == 'N' || cur[k] == 'n')) {
+              k++;
+              pos++;
+            }
+            off = k;
+          }
+        }
       }
-      at_line_start = true;
-      continue;
     }
-    if (in_header) {
-      hdr.push_back((char)b);
-      at_line_start = false;
-      continue;
-    }
-    if (b == '>' && at_line_start) {
-      finish_record();
-      have_record = true;
-      pos = 0;
-      in_header = true;
-      hdr.clear();
-      continue;
-    }
-    at_line_start = false;
-    if (b == '\r' || b == ' ' || b == '\t') continue;
-    if (!have_record) continue;  // junk before the first header
-    if (b == 'N' || b == 'n') {
-      if (!in_run) {
-        run_start = pos;
-        in_run = true;
-      }
-    } else if (in_run) {
-      close_run();
-    }
-    pos++;
-  }
-  if (in_header && !hdr.empty()) {  // header line without trailing newline
-    size_t sp = hdr.find_first_of(" \t\r");
-    fs->names.push_back(sp == std::string::npos ? hdr : hdr.substr(0, sp));
-    fs->lengths.push_back(0);
-    pos = 0;
-    have_record = true;
+    if (!nl) break;
+    cur = nl + 1;
   }
   finish_record();
+  if (map != MAP_FAILED) munmap(map, map_len);
   return fs;
 }
 
