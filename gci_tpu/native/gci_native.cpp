@@ -19,6 +19,7 @@
 #include <sys/stat.h>
 #include <unistd.h>
 
+#include <algorithm>
 #include <atomic>
 #include <chrono>
 #include <condition_variable>
@@ -1200,26 +1201,146 @@ GCI_API void* gci_depth_encode_runs(const int64_t* vals, const int64_t* counts,
   return b;
 }
 
-// Fused: "header" bytes + run-length text -> BGZF blocks (no EOF marker),
-// never surfacing the expanded per-base text to the caller.  write_depth_gz
-// streams one of these per target and appends the EOF block at the end.
+// Fused: "header" bytes + run-length text -> BGZF blocks (no EOF marker).
+// The expanded per-base text is never materialized: each worker generates
+// its 64KB block's text straight from the run list (binary-searched byte
+// offsets + pattern fill), so expansion AND deflate both parallelize and
+// the only O(genome) memory is the compressed output.
 GCI_API void* gci_depth_runs_to_bgzf(const int64_t* vals,
                                      const int64_t* counts, int64_t n,
                                      const uint8_t* header,
                                      int64_t header_len, int level,
                                      int nthreads) {
-  std::vector<uint8_t> text;
-  int64_t total = header_len;
-  for (int64_t i = 0; i < n; i++) total += counts[i];
-  text.reserve((size_t)total * 2 + 16);
-  if (header_len) text.insert(text.end(), header, header + header_len);
-  encode_runs_core(vals, counts, n, text);
-  auto* b = new Buffer();
-  if (!bgzf_compress_core(text.data(), (int64_t)text.size(), level, nthreads,
-                          b->data)) {
-    delete b;
-    return nullptr;
+  // per-run decimal line text + cumulative byte offsets (O(runs))
+  std::vector<char> line_buf;
+  std::vector<uint32_t> line_off;   // start of run i's line in line_buf
+  std::vector<uint8_t> line_len;    // bytes incl. newline (<= 21)
+  std::vector<int64_t> byte_off;    // text byte offset where run i starts
+  line_buf.reserve((size_t)n * 4);
+  line_off.reserve((size_t)n);
+  line_len.reserve((size_t)n);
+  byte_off.reserve((size_t)n + 1);
+  int64_t cursor = header_len;
+  for (int64_t i = 0; i < n; i++) {
+    if (counts[i] <= 0) continue;
+    char tmp[24];
+    int len = 0;
+    int64_t v = vals[i];
+    if (v == 0) {
+      tmp[len++] = '0';
+    } else {
+      char rev[24];
+      int r = 0;
+      while (v > 0) {
+        rev[r++] = (char)('0' + (v % 10));
+        v /= 10;
+      }
+      while (r > 0) tmp[len++] = rev[--r];
+    }
+    tmp[len++] = '\n';
+    byte_off.push_back(cursor);
+    line_off.push_back((uint32_t)line_buf.size());
+    line_len.push_back((uint8_t)len);
+    line_buf.insert(line_buf.end(), tmp, tmp + len);
+    cursor += (int64_t)len * counts[i];
   }
+  const int64_t total = cursor;
+  byte_off.push_back(total);
+  const size_t n_runs = line_off.size();
+
+  const int64_t CHUNK = 0xff00;
+  const size_t nblocks = (size_t)((total + CHUNK - 1) / CHUNK);
+  std::vector<std::vector<uint8_t>> outs(nblocks);
+  std::atomic<size_t> next(0);
+  std::atomic<bool> ok(true);
+  auto worker = [&]() {
+    std::vector<uint8_t> text((size_t)CHUNK);
+    std::vector<uint8_t> comp((size_t)CHUNK + 1024);
+    while (true) {
+      size_t bi = next.fetch_add(1);
+      if (bi >= nblocks || !ok.load()) break;
+      const int64_t s = (int64_t)bi * CHUNK;
+      const int64_t e = std::min<int64_t>(s + CHUNK, total);
+      const size_t len = (size_t)(e - s);
+      // --- generate this block's text ---
+      int64_t q = s;
+      size_t w = 0;
+      if (q < header_len) {
+        size_t h = (size_t)std::min<int64_t>(header_len - q, (int64_t)len);
+        memcpy(text.data(), header + q, h);
+        w += h;
+        q += (int64_t)h;
+      }
+      if (q < e && n_runs) {
+        // first run whose byte range contains q
+        size_t ri = (size_t)(std::upper_bound(byte_off.begin(),
+                                              byte_off.end() - 1, q) -
+                             byte_off.begin()) - 1;
+        while (q < e && ri < n_runs) {
+          const char* lp = line_buf.data() + line_off[ri];
+          const int ll = (int)line_len[ri];
+          int64_t run_end = byte_off[ri + 1];
+          int64_t stop = std::min(run_end, e);
+          int phase = (int)((q - byte_off[ri]) % ll);
+          while (q < stop) {
+            int take = (int)std::min<int64_t>(ll - phase, stop - q);
+            memcpy(text.data() + w, lp + phase, (size_t)take);
+            w += (size_t)take;
+            q += take;
+            phase = 0;
+          }
+          ri++;
+        }
+      }
+      // --- deflate into a BGZF block ---
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) !=
+          Z_OK) {
+        ok.store(false);
+        break;
+      }
+      zs.next_in = text.data();
+      zs.avail_in = (uInt)len;
+      zs.next_out = comp.data();
+      zs.avail_out = (uInt)comp.size();
+      if (deflate(&zs, Z_FINISH) != Z_STREAM_END) {
+        deflateEnd(&zs);
+        ok.store(false);
+        break;
+      }
+      size_t clen = comp.size() - zs.avail_out;
+      deflateEnd(&zs);
+      uint32_t crc = crc32(0, text.data(), (uInt)len);
+      uint32_t bsize = (uint32_t)(clen + 26);
+      std::vector<uint8_t>& o = outs[bi];
+      o.reserve(bsize);
+      const uint8_t hdr[12] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff, 6, 0};
+      o.insert(o.end(), hdr, hdr + 12);
+      uint8_t extra[6] = {66, 67, 2, 0, (uint8_t)((bsize - 1) & 0xff),
+                          (uint8_t)(((bsize - 1) >> 8) & 0xff)};
+      o.insert(o.end(), extra, extra + 6);
+      o.insert(o.end(), comp.data(), comp.data() + clen);
+      uint8_t tail[8];
+      memcpy(tail, &crc, 4);
+      uint32_t is = (uint32_t)len;
+      memcpy(tail + 4, &is, 4);
+      o.insert(o.end(), tail, tail + 8);
+    }
+  };
+  if (nthreads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nthreads; t++) ts.emplace_back(worker);
+    for (auto& t : ts) t.join();
+  }
+  if (!ok.load()) return nullptr;
+  auto* b = new Buffer();
+  size_t out_total = 0;
+  for (auto& o : outs) out_total += o.size();
+  b->data.reserve(out_total);
+  for (auto& o : outs) b->data.insert(b->data.end(), o.begin(), o.end());
   return b;
 }
 
