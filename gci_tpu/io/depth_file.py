@@ -89,6 +89,42 @@ def read_depth_gz(path: str) -> tuple[dict[str, np.ndarray], dict[str, int]]:
     return depths, targets_length
 
 
+def read_depth_gz_events(path: str):
+    """Read a .depth.gz checkpoint into event space (O(runs), not O(genome)).
+
+    Returns (dict target -> DepthEvents, targets_length).  Same content
+    contract as ``read_depth_gz`` (utility/GCI_score.py:11-39), but resuming
+    a whole-genome run costs run-count memory instead of per-base arrays.
+    """
+    from gci_tpu.depth.eventspace import DepthEvents
+
+    def from_runs(values: np.ndarray, counts: np.ndarray) -> DepthEvents:
+        if values.shape[0] == 0:
+            return DepthEvents(
+                np.zeros(1, np.int64), np.zeros(1, np.int64), 0
+            )
+        bounds = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        return DepthEvents(bounds, values, int(counts.sum()))
+
+    try:
+        from gci_tpu.native import decode_depth_runs_native
+
+        runs = decode_depth_runs_native(path)
+        depths = {t: from_runs(v, c) for t, (v, c) in runs.items()}
+    except (ImportError, OSError):
+        arrays, _ = read_depth_gz(path)
+        depths = {}
+        for t, a in arrays.items():
+            if a.shape[0] == 0:
+                depths[t] = from_runs(np.zeros(0, np.int64), np.zeros(0, np.int64))
+                continue
+            b = np.flatnonzero(np.diff(a) != 0) + 1
+            bounds = np.concatenate(([0], b))
+            depths[t] = DepthEvents(bounds, a[bounds].astype(np.int64), int(a.size))
+    targets_length = {t: ev.length for t, ev in depths.items()}
+    return depths, targets_length
+
+
 def encode_depth_text(depths: dict[str, np.ndarray]) -> bytes:
     """Encode {target: int array} into the reference text format."""
     chunks: list[bytes] = []

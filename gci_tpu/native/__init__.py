@@ -61,6 +61,18 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.gci_depth_encode_lines.argtypes = [i64p, c.c_int64]
     lib.gci_depth_encode_runs.restype = c.c_void_p
     lib.gci_depth_encode_runs.argtypes = [i64p, i64p, c.c_int64]
+    lib.gci_depth_decode_runs_file.restype = c.c_void_p
+    lib.gci_depth_decode_runs_file.argtypes = [c.c_char_p, c.c_int]
+    lib.gci_druns_free.argtypes = [c.c_void_p]
+    lib.gci_druns_error.restype = c.c_char_p
+    lib.gci_druns_error.argtypes = [c.c_void_p]
+    lib.gci_druns_num_targets.restype = c.c_int64
+    lib.gci_druns_num_targets.argtypes = [c.c_void_p]
+    lib.gci_druns_target_name.restype = c.c_char_p
+    lib.gci_druns_target_name.argtypes = [c.c_void_p, c.c_int64]
+    lib.gci_druns_target_nruns.restype = c.c_int64
+    lib.gci_druns_target_nruns.argtypes = [c.c_void_p, c.c_int64]
+    lib.gci_druns_copy_target.argtypes = [c.c_void_p, c.c_int64, i64p, i64p]
     lib.gci_depth_runs_to_bgzf.restype = c.c_void_p
     lib.gci_depth_runs_to_bgzf.argtypes = [i64p, i64p, c.c_int64, u8p, c.c_int64, c.c_int, c.c_int]
     lib.gci_bgzf_eof_block.restype = c.c_void_p
@@ -177,6 +189,37 @@ def decode_depth_file_native(path: str, nthreads: int | None = None) -> dict[str
             out[name] = arr
     finally:
         lib.gci_depth_free(h)
+    return out
+
+
+def decode_depth_runs_native(
+    path: str, nthreads: int | None = None
+) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """Parse .depth.gz into per-target run-length (values, counts) arrays."""
+    lib = get_lib()
+    if nthreads is None:
+        nthreads = os.cpu_count() or 1
+    h = lib.gci_depth_decode_runs_file(path.encode(), nthreads)
+    if not h:
+        raise OSError(f"cannot read depth file: {path}")
+    try:
+        err = lib.gci_druns_error(h)
+        if err:
+            raise ValueError(err.decode())
+        out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for i in range(lib.gci_druns_num_targets(h)):
+            name = lib.gci_druns_target_name(h, i).decode()
+            m = lib.gci_druns_target_nruns(h, i)
+            values = np.empty(m, dtype=np.int64)
+            counts = np.empty(m, dtype=np.int64)
+            if m:
+                lib.gci_druns_copy_target(
+                    h, i, _as_ptr(values, ctypes.c_int64),
+                    _as_ptr(counts, ctypes.c_int64),
+                )
+            out[name] = (values, counts)
+    finally:
+        lib.gci_druns_free(h)
     return out
 
 

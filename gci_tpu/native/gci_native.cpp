@@ -1349,3 +1349,191 @@ GCI_API void* gci_bgzf_eof_block() {
   b->data.assign(BGZF_EOF_BLOCK, BGZF_EOF_BLOCK + sizeof(BGZF_EOF_BLOCK));
   return b;
 }
+
+// ===========================================================================
+// Run-space depth decode: .depth.gz -> per-target (value, count) runs.
+// Makes resume-from-checkpoint O(runs) in memory instead of O(genome)
+// (utility/GCI_score.py:11-39 semantics, event-space representation).
+// ===========================================================================
+struct DepthRuns {
+  std::string error;
+  std::vector<std::string> names;
+  std::vector<int64_t> run_off;  // per-target start into runs; size n+1
+  std::vector<int64_t> run_values;
+  std::vector<int64_t> run_counts;
+};
+
+namespace {
+struct RunEvent {
+  // value >= 0: run; value == -1: header (name_idx into local_names)
+  int64_t value;
+  int64_t count;
+};
+struct RunChunk {
+  std::vector<std::string> names;
+  std::vector<RunEvent> events;
+  bool bad = false;
+};
+
+static void parse_runs_range(const uint8_t* p, size_t s, size_t e,
+                             RunChunk& out) {
+  size_t i = s;
+  int64_t cur_val = -2;
+  int64_t cur_cnt = 0;
+  auto flush = [&]() {
+    if (cur_cnt) out.events.push_back({cur_val, cur_cnt});
+    cur_cnt = 0;
+    cur_val = -2;
+  };
+  while (i < e) {
+    uint8_t b = p[i];
+    if (b == '>') {
+      size_t j = i + 1;
+      while (j < e && p[j] != '\n') j++;
+      size_t he = j;
+      while (he > i + 1 && (p[he - 1] == '\r' || p[he - 1] == ' ')) he--;
+      size_t hs = i + 1;
+      for (size_t k = he; k > i + 1; k--) {
+        if (p[k - 1] == '>') {
+          hs = k;
+          break;
+        }
+      }
+      flush();
+      out.names.emplace_back(reinterpret_cast<const char*>(p) + hs, he - hs);
+      out.events.push_back({-1, (int64_t)out.names.size() - 1});
+      i = j + 1;
+    } else if (b == '\n' || b == '\r') {
+      i++;
+    } else {
+      int64_t v = 0;
+      bool any = false;
+      while (i < e && p[i] >= '0' && p[i] <= '9') {
+        v = v * 10 + (p[i] - '0');
+        i++;
+        any = true;
+      }
+      while (i < e && p[i] != '\n') i++;
+      if (i < e) i++;
+      if (!any) {
+        out.bad = true;
+        return;
+      }
+      if (v == cur_val) {
+        cur_cnt++;
+      } else {
+        flush();
+        cur_val = v;
+        cur_cnt = 1;
+      }
+    }
+  }
+  flush();
+}
+}  // namespace
+
+GCI_API void* gci_depth_decode_runs_file(const char* path, int nthreads) {
+  auto* dr = new DepthRuns();
+  std::vector<uint8_t> raw;
+  if (!read_file(path, raw)) {
+    dr->error = "cannot read file";
+    return dr;
+  }
+  const uint8_t* p = raw.data();
+  size_t n = raw.size();
+  std::vector<uint8_t> inflated;
+  if (n >= 2 && p[0] == 0x1f && p[1] == 0x8b) {
+    std::vector<BgzfBlock> blocks;
+    size_t total = 0;
+    if (bgzf_scan(p, n, blocks, total)) {
+      inflated.resize(total);
+      if (!bgzf_decompress_parallel(p, blocks, inflated.data(), nthreads)) {
+        dr->error = "bgzf decompress failed";
+        return dr;
+      }
+    } else if (!gzip_inflate_all(p, n, inflated)) {
+      dr->error = "gzip inflate failed";
+      return dr;
+    }
+    p = inflated.data();
+    n = inflated.size();
+  }
+  // split into line-aligned chunks and parse in parallel
+  int T = nthreads > 1 ? nthreads : 1;
+  if ((size_t)T > n / (1 << 20) + 1) T = (int)(n / (1 << 20) + 1);
+  std::vector<size_t> starts(T + 1, n);
+  starts[0] = 0;
+  for (int t = 1; t < T; t++) {
+    size_t cand = n * (size_t)t / (size_t)T;
+    const uint8_t* nl = (const uint8_t*)memchr(p + cand, '\n', n - cand);
+    starts[t] = nl ? (size_t)(nl - p) + 1 : n;
+  }
+  for (int t = 1; t < T; t++)
+    if (starts[t] < starts[t - 1]) starts[t] = starts[t - 1];
+  std::vector<RunChunk> chunks((size_t)T);
+  {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < T; t++) {
+      ts.emplace_back([&, t]() {
+        parse_runs_range(p, starts[t], starts[t + 1], chunks[(size_t)t]);
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  bool seen_header = false;
+  for (auto& ch : chunks) {
+    if (ch.bad) {
+      dr->error = "malformed depth line";
+      return dr;
+    }
+    for (auto& ev : ch.events) {
+      if (ev.value == -1) {
+        dr->names.push_back(std::move(ch.names[(size_t)ev.count]));
+        dr->run_off.push_back((int64_t)dr->run_values.size());
+        seen_header = true;
+      } else {
+        if (!seen_header) {
+          dr->error = "depth file has no '>' target header";
+          return dr;
+        }
+        // coalesce runs split across chunk borders
+        if (!dr->run_values.empty() &&
+            dr->run_off.back() < (int64_t)dr->run_values.size() &&
+            dr->run_values.back() == ev.value) {
+          dr->run_counts.back() += ev.count;
+        } else {
+          dr->run_values.push_back(ev.value);
+          dr->run_counts.push_back(ev.count);
+        }
+      }
+    }
+  }
+  dr->run_off.push_back((int64_t)dr->run_values.size());
+  return dr;
+}
+
+GCI_API void gci_druns_free(void* h) { delete (DepthRuns*)h; }
+GCI_API const char* gci_druns_error(void* h) {
+  auto* dr = (DepthRuns*)h;
+  return dr->error.empty() ? nullptr : dr->error.c_str();
+}
+GCI_API int64_t gci_druns_num_targets(void* h) {
+  return (int64_t)((DepthRuns*)h)->names.size();
+}
+GCI_API const char* gci_druns_target_name(void* h, int64_t i) {
+  return ((DepthRuns*)h)->names[(size_t)i].c_str();
+}
+GCI_API int64_t gci_druns_target_nruns(void* h, int64_t i) {
+  auto* dr = (DepthRuns*)h;
+  return dr->run_off[(size_t)i + 1] - dr->run_off[(size_t)i];
+}
+GCI_API void gci_druns_copy_target(void* h, int64_t i, int64_t* values,
+                                   int64_t* counts) {
+  auto* dr = (DepthRuns*)h;
+  int64_t s = dr->run_off[(size_t)i];
+  int64_t e = dr->run_off[(size_t)i + 1];
+  if (e > s) {
+    memcpy(values, dr->run_values.data() + s, (size_t)(e - s) * sizeof(int64_t));
+    memcpy(counts, dr->run_counts.data() + s, (size_t)(e - s) * sizeof(int64_t));
+  }
+}

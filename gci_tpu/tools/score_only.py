@@ -16,7 +16,7 @@ import sys
 import numpy as np
 
 from gci_tpu.io.bed import read_bed_dict
-from gci_tpu.io.depth_file import read_depth_gz
+from gci_tpu.io.depth_file import read_depth_gz_events
 from gci_tpu.io.fasta import mask_gaps_in_depths, scan_fasta
 from gci_tpu.reports import emit_gaps_bed, emit_issue_bed
 from gci_tpu.score.report import compute_continuity_report
@@ -28,7 +28,8 @@ _TYPE_LABEL = {"hifi": "HiFi", "nano": "Nano", "two_type": "HiFi + Nano"}
 def _load_depth(path: str, kind: str, ref_refs, gaps, prefix, threshold, flank_len,
                 directory, force):
     print(f"Parsing {_TYPE_LOG[kind]} depth file ...")
-    depths, targets_length = read_depth_gz(path)
+    # event-space load: O(runs) memory/time, exact per-base semantics
+    depths, targets_length = read_depth_gz_events(path)
     print(f"Parsing {_TYPE_LOG[kind]} depth file ... done!!!\n\n")
     for t in targets_length:
         if t not in ref_refs:
