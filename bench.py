@@ -23,15 +23,15 @@ import numpy as np
 
 # persistent compile cache: the remote Mosaic/XLA compile of the fused scan
 # kernel is slow (minutes) and highly variable on this host; cache it on disk
-# so repeated bench runs pay it once.  (jax may already be imported by the
-# environment's site hook, so set it through jax.config, not env vars.)
+# so repeated bench runs pay it once (shared dir/implementation with the CLI
+# and graft entry — gci_tpu.utils.jaxcache).
 import jax  # noqa: E402
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+from gci_tpu.utils.jaxcache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 GENOME_BP = 1_000_000_000  # 1 Gbp synthetic assembly (8 targets)
 N_READS = 4_000_000        # ~typical HiFi read count at this scale

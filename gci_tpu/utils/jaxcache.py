@@ -1,9 +1,16 @@
-"""Persistent XLA compile cache wiring.
+"""Persistent XLA compile cache wiring — the ONE implementation every entry
+point (CLI, side-car tools, bench, graft entry) shares.
 
 The fused depth-scan kernel's Mosaic/XLA compile is expensive (minutes on a
-cold remote-compile path), so every entry point (CLI, side-car tools, bench,
-graft entry) enables jax's on-disk compilation cache before the first trace.
-Cache location: ``$GCI_JAX_CACHE_DIR`` if set, else ``~/.cache/gci_tpu/jax``.
+cold remote-compile path), so each entry point enables jax's on-disk
+compilation cache before the first trace.  Cache dir resolution order:
+
+1. explicit ``cache_dir`` argument,
+2. ``$GCI_JAX_CACHE_DIR``,
+3. a source checkout's repo-local ``.jax_cache`` (detected as a ``.jax_cache``
+   or ``pyproject.toml`` sibling of the package dir) — so CLI runs, bench.py
+   and the graft entry all hit the same cache during development,
+4. ``~/.cache/gci_tpu/jax``.
 
 Safe to call multiple times and safe when jax's backend is already
 initialized (the config knobs below are not backend-init-locked).
@@ -15,7 +22,22 @@ import os
 _done = False
 
 
-def enable_compile_cache() -> None:
+def default_cache_dir() -> str:
+    env = os.environ.get("GCI_JAX_CACHE_DIR")
+    if env:
+        return env
+    pkg_parent = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    repo_cache = os.path.join(pkg_parent, ".jax_cache")
+    if os.path.isdir(repo_cache) or os.path.exists(
+        os.path.join(pkg_parent, "pyproject.toml")
+    ):
+        return repo_cache
+    return os.path.join(os.path.expanduser("~"), ".cache", "gci_tpu", "jax")
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> None:
     global _done
     if _done:
         return
@@ -24,9 +46,7 @@ def enable_compile_cache() -> None:
         import jax
     except Exception:
         return
-    cache_dir = os.environ.get("GCI_JAX_CACHE_DIR") or os.path.join(
-        os.path.expanduser("~"), ".cache", "gci_tpu", "jax"
-    )
+    cache_dir = cache_dir or default_cache_dir()
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

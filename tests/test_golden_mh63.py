@@ -65,3 +65,42 @@ def test_mh63_issue_bed_and_gci_parity(mh63_depths, tmp_path, capsys):
     with open(f"{GOLDEN_DIR}/MH63.gci", "rb") as f:
         want_gci = f.read()
     assert got_gci == want_gci
+
+
+def _gzip_streams_equal(path_a: str, path_b: str, chunk: int = 1 << 23) -> bool:
+    """Chunked decompressed-byte equality (no O(genome) buffers held twice)."""
+    import gzip
+
+    with gzip.open(path_a, "rb") as fa, gzip.open(path_b, "rb") as fb:
+        while True:
+            a = fa.read(chunk)
+            b = fb.read(chunk)
+            if a != b:
+                return False
+            if not a:
+                return True
+
+
+def test_mh63_checkpoint_write_parity(mh63_depths, tmp_path):
+    """Re-encoding the golden checkpoint reproduces its decompressed text.
+
+    Write-side bit parity for the resume boundary (format: GCI.py:113-117):
+    both production encoders — the per-base-array text path and the
+    event-space RLE->BGZF path run_gci's default backend uses — must emit a
+    checkpoint whose decompressed bytes equal the reference's own file.
+    """
+    from gci_tpu.depth.eventspace import DepthEvents
+    from gci_tpu.io.depth_file import write_depth_gz
+
+    golden = os.path.join(GOLDEN_DIR, "MH63.depth.gz")
+
+    arrays = {k: np.asarray(v) for k, v in mh63_depths.items()}
+    out_arr = str(tmp_path / "arr.depth.gz")
+    write_depth_gz(out_arr, arrays)
+    assert _gzip_streams_equal(out_arr, golden)
+    os.unlink(out_arr)
+
+    events = {k: DepthEvents.from_array(v) for k, v in arrays.items()}
+    out_ev = str(tmp_path / "ev.depth.gz")
+    write_depth_gz(out_ev, events)
+    assert _gzip_streams_equal(out_ev, golden)
