@@ -116,10 +116,17 @@ def build_parser() -> argparse.ArgumentParser:
     group_tpu = parser.add_argument_group("TPU/Runtime Options")
     group_tpu.add_argument(
         "--device", dest="depth_backend", metavar="STR",
-        choices=["auto", "device", "numpy", "events"], default="auto",
+        choices=["auto", "device", "numpy", "events", "sharded"], default="auto",
         help="Per-base depth backend: auto (TPU when available), device, "
-        "numpy, or events (O(reads) event-space — no per-base arrays; "
-        "fastest on host, identical outputs) [auto]",
+        "numpy, events (O(reads) event-space — no per-base arrays; "
+        "fastest on host, identical outputs), or sharded (multi-chip: genome "
+        "axis sharded over a device mesh) [auto]",
+    )
+    group_tpu.add_argument(
+        "--mesh", metavar="DPxGP", default=None,
+        help="Device mesh for the sharded backend as 'dp,gp' (data-parallel "
+        "reads x genome-axis shards), or 'auto' to span all local devices; "
+        "implies --device sharded [None]",
     )
     group_tpu.add_argument(
         "--profile", action="store_const", const=True, default=False,
@@ -188,6 +195,8 @@ def main(argv: list[str] | None = None) -> None:
         parser.print_help()
         sys.exit()
     validate_args(args)
+    if args["mesh"] is not None and args["depth_backend"] != "sharded":
+        args["depth_backend"] = "sharded"
     print(f"Used arguments:{args}")
 
     from gci_tpu.utils.jaxcache import enable_compile_cache

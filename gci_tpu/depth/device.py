@@ -36,6 +36,9 @@ from gci_tpu.depth.accum import GenomeLayout, clamp_read_intervals
 # read packing (host -> device operands)
 # ---------------------------------------------------------------------------
 
+_INT32_MAX = np.iinfo(np.int32).max
+
+
 def pack_read_deltas(
     layout: GenomeLayout,
     target_id: np.ndarray,
@@ -44,7 +47,18 @@ def pack_read_deltas(
     flank_len: int,
     pad_to: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Global (start_slot, stop_slot, live) arrays with slice-exact clamping."""
+    """Global (start_slot, stop_slot, live) arrays with slice-exact clamping.
+
+    int32 slot indices — only valid for single-chip layouts below 2^31 slots.
+    Larger genomes must use the streamed path (int64 host arithmetic) or the
+    sharded path (``pack_read_deltas_sharded``: shard-local int32 offsets
+    derived from int64 bases, no global-int32 anywhere).
+    """
+    if layout.total_slots > _INT32_MAX:
+        raise OverflowError(
+            f"{layout.total_slots} slots exceed int32 global indexing; use "
+            "pack_read_deltas_sharded (sharded backend) or the streamed path"
+        )
     s, e = clamp_read_intervals(layout, target_id, start, end, flank_len)
     base = layout.offsets[target_id]
     gs = (base + s).astype(np.int32)
@@ -56,6 +70,44 @@ def pack_read_deltas(
         ge = np.concatenate([ge, np.zeros(padn, np.int32)])
         live = np.concatenate([live, np.zeros(padn, np.int32)])
     return gs, ge, live
+
+
+def pack_read_deltas_sharded(
+    layout: GenomeLayout,
+    target_id: np.ndarray,
+    start: np.ndarray,
+    end: np.ndarray,
+    flank_len: int,
+    shard_slots: int,
+    pad_to: int | None = None,
+) -> tuple[np.ndarray, ...]:
+    """(gs_shard, gs_off, ge_shard, ge_off, live), all int32.
+
+    Global slot arithmetic stays int64 on host; each event is addressed as
+    (genome-shard index, shard-local offset), so a >2^31-slot layout (e.g.
+    3.1 Gbp x multi-hap sharded across a pod) never touches int32 global
+    indices.  Padding rows carry shard index -1 (matches no device).
+    """
+    s, e = clamp_read_intervals(layout, target_id, start, end, flank_len)
+    base = layout.offsets[target_id]
+    gs = base + s
+    ge = base + e
+    live = (e > s).astype(np.int32)
+    out = (
+        (gs // shard_slots).astype(np.int32),
+        (gs % shard_slots).astype(np.int32),
+        (ge // shard_slots).astype(np.int32),
+        (ge % shard_slots).astype(np.int32),
+        live,
+    )
+    if pad_to is not None and gs.shape[0] < pad_to:
+        padn = pad_to - gs.shape[0]
+        fills = (-1, 0, -1, 0, 0)
+        out = tuple(
+            np.concatenate([a, np.full(padn, f, np.int32)])
+            for a, f in zip(out, fills)
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -103,12 +155,26 @@ def interval_edges(depth, valid, leftmost, rightmost):
 # sharded (dp, gp) path
 # ---------------------------------------------------------------------------
 
+def _local_prefix_sum(delta):
+    """Per-shard inclusive scan: Pallas kernel on TPU (memory speed-of-light
+    two-level scan), XLA cumsum elsewhere/when the shard is not tile-aligned."""
+    from gci_tpu.depth.pallas_scan import DEF_ROWS, LANES
+
+    n = delta.shape[0]
+    if jax.default_backend() == "tpu" and n % (DEF_ROWS * LANES) == 0:
+        from gci_tpu.depth.pallas_scan import depth_scan
+
+        return depth_scan(delta)
+    return jnp.cumsum(delta)
+
+
 def make_sharded_depth_fn(mesh: Mesh, total_slots: int):
     """Build the pjit-ted sharded depth step for a (dp, gp) mesh.
 
-    Input read arrays are sharded over ``dp`` (each device holds a read
-    shard, replicated over gp); the returned depth is sharded over ``gp``.
-    ``total_slots`` must be a multiple of the gp axis size.
+    Input read-event arrays — (gs_shard, gs_off, ge_shard, ge_off, live) from
+    ``pack_read_deltas_sharded`` — are sharded over ``dp`` (each device holds
+    a read shard, replicated over gp); the returned depth is sharded over
+    ``gp``.  ``total_slots`` must be a multiple of the gp axis size.
     """
     from jax import shard_map
 
@@ -116,23 +182,22 @@ def make_sharded_depth_fn(mesh: Mesh, total_slots: int):
     assert total_slots % gp == 0, "pad the genome axis to the gp shard count"
     shard = total_slots // gp
 
-    def step(gs, ge, live):
+    def step(gs_sh, gs_off, ge_sh, ge_off, live):
         gp_idx = jax.lax.axis_index("gp")
-        lo = gp_idx * shard
         # local scatter of this device's read shard into its genome shard
         delta = jnp.zeros(shard, dtype=jnp.int32)
-        in1 = (gs >= lo) & (gs < lo + shard)
-        in2 = (ge >= lo) & (ge < lo + shard)
-        delta = delta.at[jnp.where(in1, gs - lo, shard)].add(
+        in1 = gs_sh == gp_idx
+        in2 = ge_sh == gp_idx
+        delta = delta.at[jnp.where(in1, gs_off, shard)].add(
             jnp.where(in1, live, 0), mode="drop"
         )
-        delta = delta.at[jnp.where(in2, ge - lo, shard)].add(
+        delta = delta.at[jnp.where(in2, ge_off, shard)].add(
             jnp.where(in2, -live, 0), mode="drop"
         )
         # merge read-parallel partials: ICI all-reduce over dp
         delta = jax.lax.psum(delta, "dp")
         # distributed prefix sum over the genome axis
-        local = jnp.cumsum(delta)
+        local = _local_prefix_sum(delta)
         totals = jax.lax.all_gather(local[-1], "gp")  # (gp,)
         offset = jnp.sum(jnp.where(jnp.arange(gp) < gp_idx, totals, 0))
         return local + offset
@@ -141,7 +206,7 @@ def make_sharded_depth_fn(mesh: Mesh, total_slots: int):
         shard_map(
             step,
             mesh=mesh,
-            in_specs=(P("dp"), P("dp"), P("dp")),
+            in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
             out_specs=P("gp"),
         )
     )
@@ -174,6 +239,34 @@ def make_sharded_interval_fn(mesh: Mesh, total_slots: int):
             in_specs=(P("gp"), P("gp"), P(), P()),
             out_specs=(P("gp"), P("gp"), P("gp")),
         )
+    )
+
+
+def make_sharded_change_fn(mesh: Mesh, total_slots: int):
+    """Sharded run-boundary detector: change[i] = depth[i] != depth[i-1].
+
+    ppermute carries each shard's last depth to its right neighbor; global
+    position 0 is forced to a change (run start).  The int8 bitmap is the
+    device->host handoff for RLE extraction (checkpoint write, event-space
+    views) — 1 byte/slot instead of 4 for the full depth.
+    """
+    from jax import shard_map
+
+    gp = mesh.shape["gp"]
+    assert total_slots % gp == 0
+
+    def step(depth):
+        gp_idx = jax.lax.axis_index("gp")
+        last = depth[-1:]
+        perm = [(i, i + 1) for i in range(gp - 1)]
+        prev_last = jax.lax.ppermute(last, "gp", perm)
+        # force a run boundary at global position 0
+        prev_last = jnp.where(gp_idx == 0, depth[0] - 1, prev_last[0])
+        prev = jnp.concatenate([prev_last[None], depth[:-1]])
+        return (depth != prev).astype(jnp.int8)
+
+    return jax.jit(
+        shard_map(step, mesh=mesh, in_specs=(P("gp"),), out_specs=P("gp"))
     )
 
 

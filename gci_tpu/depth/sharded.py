@@ -1,0 +1,274 @@
+"""Sharded whole-pipeline depth: one read-type's genome axis resident on a
+(dp, gp) device mesh end-to-end.
+
+This is the user-reachable multi-chip path (``depth_backend="sharded"`` /
+``gci --mesh dp,gp``): reads are packed once on host, scattered data-parallel
+over ``dp``, the per-base genome axis lives gp-sharded on device through
+depth accumulation (GCI.py:302-306), gap masking (GCI.py:315-329), two-type
+max (GCI.py:332-353) and issue-interval extraction (GCI.py:356-390).  Only
+interval lists (tiny) and run-length boundaries (O(runs)) ever come back to
+host; the per-base axis is never materialized host-side.
+
+Collectives: psum over dp merges read-parallel delta partials; the genome
+prefix sum is a per-shard scan + all_gather of shard totals; interval edges
+and run boundaries stitch across shards with ppermute (gci_tpu.depth.device).
+All device paths are asserted byte-identical to the host oracle by
+tests/test_sharded_pipeline.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from gci_tpu.depth.accum import GenomeLayout
+
+_INT32_MAX = np.iinfo(np.int32).max
+
+
+@functools.lru_cache(maxsize=32)
+def _depth_fn(mesh, pad_total):
+    from gci_tpu.depth.device import make_sharded_depth_fn
+
+    return make_sharded_depth_fn(mesh, pad_total)
+
+
+@functools.lru_cache(maxsize=32)
+def _interval_fn(mesh, pad_total):
+    from gci_tpu.depth.device import make_sharded_interval_fn
+
+    return make_sharded_interval_fn(mesh, pad_total)
+
+
+@functools.lru_cache(maxsize=32)
+def _change_fn(mesh, pad_total):
+    from gci_tpu.depth.device import make_sharded_change_fn
+
+    return make_sharded_change_fn(mesh, pad_total)
+
+
+@functools.lru_cache(maxsize=8)
+def _mask_max_fns():
+    import jax
+    import jax.numpy as jnp
+
+    mask = jax.jit(lambda depth, marks: jnp.where(marks > 0, 0, depth))
+    vmax = jax.jit(jnp.maximum)
+    return mask, vmax
+
+
+def parse_mesh_spec(spec: str | None = None, n_devices: int | None = None):
+    """'dp,gp' | 'auto' | None -> a (dp, gp) jax Mesh over local devices."""
+    from gci_tpu.parallel.mesh import make_mesh
+
+    if spec in (None, "", "auto"):
+        return make_mesh(n_devices)
+    parts = [int(p) for p in str(spec).split(",")]
+    if len(parts) == 1:
+        return make_mesh(parts[0])
+    dp, gp = parts
+    return make_mesh(dp * gp, dp=dp)
+
+
+class ShardedDepth:
+    """One read-type's whole-genome depth, gp-sharded on a device mesh.
+
+    Drop-in value for the pipeline's depth dictionaries: gap masking,
+    two-type max, interval collapse and checkpoint serialization all
+    dispatch on this type and stay on device.
+    """
+
+    def __init__(self, mesh, layout: GenomeLayout, array, pad_total: int):
+        self.mesh = mesh
+        self.layout = layout
+        self.array = array  # jax int32, (pad_total,), sharded over gp
+        self.pad_total = pad_total
+        self._events = None  # lazy host event-space view
+
+    # ------------------------------------------------------------ construct
+    @staticmethod
+    def _pad_total(mesh, total: int) -> int:
+        import jax
+
+        gp = mesh.shape["gp"]
+        unit = gp
+        if jax.default_backend() == "tpu":
+            # align each gp shard to the Pallas scan tile so the per-shard
+            # prefix sum takes the fused kernel path
+            from gci_tpu.depth.pallas_scan import DEF_ROWS, LANES
+
+            unit = gp * DEF_ROWS * LANES
+        return total + ((-total) % unit)
+
+    @classmethod
+    def from_reads(
+        cls,
+        mesh,
+        layout: GenomeLayout,
+        target_id: np.ndarray,
+        start: np.ndarray,
+        end: np.ndarray,
+        flank_len: int,
+    ) -> "ShardedDepth":
+        import jax.numpy as jnp
+
+        from gci_tpu.depth.device import pack_read_deltas_sharded
+        from gci_tpu.parallel.mesh import pad_to_multiple
+
+        dp = mesh.shape["dp"]
+        pad_total = cls._pad_total(mesh, layout.total_slots)
+        shard = pad_total // mesh.shape["gp"]
+        packed = pack_read_deltas_sharded(
+            layout, target_id, start, end, flank_len, shard
+        )
+        packed = tuple(pad_to_multiple(a, dp, fill=f)
+                       for a, f in zip(packed, (-1, 0, -1, 0, 0)))
+        fn = _depth_fn(mesh, pad_total)
+        with mesh:
+            arr = fn(*(jnp.asarray(a) for a in packed))
+        return cls(mesh, layout, arr, pad_total)
+
+    # ------------------------------------------------------------------ ops
+    def mask_gaps(self, gaps: dict[str, list[tuple[int, int]]]) -> "ShardedDepth":
+        """Zero depth over N-gap intervals, on device (GCI.py:315-329)."""
+        import jax.numpy as jnp
+
+        from gci_tpu.parallel.mesh import pad_to_multiple
+
+        index = {n: k for k, n in enumerate(self.layout.names)}
+        starts: list[int] = []
+        stops: list[int] = []
+        for t, segs in (gaps or {}).items():
+            k = index.get(t)
+            if k is None:
+                continue
+            o = int(self.layout.offsets[k])
+            L = int(self.layout.lengths[k])
+            for s, e in segs:
+                s, e = max(0, min(int(s), L)), max(0, min(int(e), L))
+                if e > s:
+                    starts.append(o + s)
+                    stops.append(o + e)
+        if not starts:
+            return self
+        shard = self.pad_total // self.mesh.shape["gp"]
+        gs = np.asarray(starts, np.int64)
+        ge = np.asarray(stops, np.int64)
+        packed = (
+            (gs // shard).astype(np.int32),
+            (gs % shard).astype(np.int32),
+            (ge // shard).astype(np.int32),
+            (ge % shard).astype(np.int32),
+            np.ones(gs.shape[0], np.int32),
+        )
+        dp = self.mesh.shape["dp"]
+        packed = tuple(pad_to_multiple(a, dp, fill=f)
+                       for a, f in zip(packed, (-1, 0, -1, 0, 0)))
+        fn = _depth_fn(self.mesh, self.pad_total)
+        mask_fn, _ = _mask_max_fns()
+        with self.mesh:
+            marks = fn(*(jnp.asarray(a) for a in packed))
+            arr = mask_fn(self.array, marks)
+        return ShardedDepth(self.mesh, self.layout, arr, self.pad_total)
+
+    def maximum(self, other: "ShardedDepth") -> "ShardedDepth":
+        """Per-base two-type max, on device (GCI.py:332-353)."""
+        assert self.pad_total == other.pad_total
+        _, max_fn = _mask_max_fns()
+        with self.mesh:
+            arr = max_fn(self.array, other.array)
+        return ShardedDepth(self.mesh, self.layout, arr, self.pad_total)
+
+    def collapse_dict(
+        self,
+        leftmost: float = -1,
+        rightmost: float = 0,
+        flank_len: int = 15,
+        start_pos: int = 0,
+    ) -> dict[str, list[tuple[int, int]]]:
+        """Issue intervals via the sharded edge extraction (GCI.py:356-390)."""
+        import jax.numpy as jnp
+
+        from gci_tpu.depth.device import build_scan_valid, edges_to_intervals
+
+        valid = build_scan_valid(self.layout, flank_len, self.pad_total)
+        fn = _interval_fn(self.mesh, self.pad_total)
+        with self.mesh:
+            m, rise, fall = fn(
+                self.array,
+                jnp.asarray(valid),
+                jnp.asarray([leftmost], jnp.int32),
+                jnp.asarray([rightmost], jnp.int32),
+            )
+        return edges_to_intervals(
+            self.layout, np.asarray(rise), np.asarray(fall), np.asarray(m),
+            flank_len, start_pos,
+        )
+
+    # ------------------------------------------------------------ host view
+    def to_events(self):
+        """O(runs) host view: {target: DepthEvents}.
+
+        Run boundaries come from the sharded change-detect collective (int8
+        bitmap transfer); boundary values from one device gather.  Used for
+        the checkpoint writer, regions re-collapse and plotting — the only
+        host-side representations the pipeline needs.
+        """
+        if self._events is not None:
+            return self._events
+        import jax.numpy as jnp
+
+        from gci_tpu.depth.eventspace import DepthEvents
+
+        fn = _change_fn(self.mesh, self.pad_total)
+        with self.mesh:
+            change = fn(self.array)
+        idx = np.flatnonzero(np.asarray(change))
+
+        # per-target boundary slices, with a forced boundary at each start
+        names = self.layout.names
+        gather: list[np.ndarray] = []
+        spans: list[tuple[int, int, int]] = []  # (gather_lo, gather_hi, L)
+        cursor = 0
+        for k in range(len(names)):
+            o = int(self.layout.offsets[k])
+            L = int(self.layout.lengths[k])
+            lo = np.searchsorted(idx, o, side="left")
+            hi = np.searchsorted(idx, o + L, side="left")
+            b = idx[lo:hi]
+            if b.shape[0] == 0 or b[0] != o:
+                b = np.concatenate([[o], b])
+            gather.append(b)
+            spans.append((cursor, cursor + b.shape[0], L))
+            cursor += b.shape[0]
+        all_idx = (
+            np.concatenate(gather) if gather else np.empty(0, np.int64)
+        )
+        if all_idx.shape[0]:
+            if self.pad_total <= _INT32_MAX:
+                with self.mesh:
+                    vals = np.asarray(
+                        jnp.take(self.array, jnp.asarray(all_idx.astype(np.int32)))
+                    ).astype(np.int64)
+            else:  # >2^31 slots: gather shard-locally on host per index block
+                host = np.asarray(self.array)
+                vals = host[all_idx].astype(np.int64)
+        else:
+            vals = np.empty(0, np.int64)
+
+        out: dict[str, DepthEvents] = {}
+        for k, name in enumerate(names):
+            glo, ghi, L = spans[k]
+            b = gather[k] - int(self.layout.offsets[k])
+            out[name] = DepthEvents(
+                b.astype(np.int64), vals[glo:ghi], L
+            )._dedup()
+        self._events = out
+        return out
+
+    def materialize_dict(self) -> dict[str, np.ndarray]:
+        """Per-target per-base arrays (tests/oracles only — O(genome) host)."""
+        flat = np.asarray(self.array)[: self.layout.total_slots]
+        from gci_tpu.depth.accum import depth_dict_from_flat
+
+        return depth_dict_from_flat(self.layout, flat)

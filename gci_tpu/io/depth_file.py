@@ -201,6 +201,12 @@ def write_depth_gz(path: str, depths: dict, compresslevel: int = 6) -> None:
     materialization).
     """
     from gci_tpu.depth.eventspace import DepthEvents
+    from gci_tpu.depth.sharded import ShardedDepth
+
+    if isinstance(depths, ShardedDepth):
+        # device-resident depth: pull only run boundaries (O(runs)), feed the
+        # RLE->BGZF encoder — per-base text never materializes in Python
+        depths = depths.to_events()
 
     try:
         from gci_tpu.native import (

@@ -62,6 +62,7 @@ def run_filter(
     chrs_list: list[str] = (),
     threads: int = 4,
     depth_backend: str = "auto",
+    mesh=None,
 ) -> tuple[dict[str, np.ndarray], dict[str, int]]:
     """Filter alignments of one read type into per-base depth (GCI.py:172-312)."""
     _require_writable(f"{directory}/{prefix}.depth.gz", force)
@@ -170,6 +171,17 @@ def run_filter(
             depths = events_dict_from_reads(
                 layout, curated.target_id, curated.start, curated.end, flank_len
             )
+        elif depth_backend == "sharded":
+            # multi-chip path: genome axis gp-sharded on the mesh, reads
+            # scattered dp-parallel; depth stays device-resident through
+            # gap-mask/two-type/interval extraction (gci_tpu.depth.sharded)
+            from gci_tpu.depth.sharded import ShardedDepth, parse_mesh_spec
+
+            mesh_obj = mesh if hasattr(mesh, "shape") else parse_mesh_spec(mesh)
+            depths = ShardedDepth.from_reads(
+                mesh_obj, layout, curated.target_id, curated.start,
+                curated.end, flank_len,
+            )
         else:
             flat = accumulate_depth(
                 layout, curated.target_id, curated.start, curated.end, flank_len,
@@ -196,12 +208,16 @@ def merge_two_type_depths(
     print("Merging HiFi and ONT depth file ...")
     _require_writable(f"{directory}/{prefix}.depth.gz", force)
     from gci_tpu.depth.eventspace import DepthEvents
+    from gci_tpu.depth.sharded import ShardedDepth
 
-    merged = {
-        t: d.maximum(nano_depths[t]) if isinstance(d, DepthEvents)
-        else np.maximum(d, nano_depths[t])
-        for t, d in hifi_depths.items()
-    }
+    if isinstance(hifi_depths, ShardedDepth):
+        merged = hifi_depths.maximum(nano_depths)
+    else:
+        merged = {
+            t: d.maximum(nano_depths[t]) if isinstance(d, DepthEvents)
+            else np.maximum(d, nano_depths[t])
+            for t, d in hifi_depths.items()
+        }
     write_depth_gz(f"{directory}/{prefix}.depth.gz", merged)
     print("Merging HiFi and ONT depth file done!!!\n\n")
     return merged
@@ -231,6 +247,7 @@ def run_gci(
     chrs: str | None = None,
     threads: int = 4,
     depth_backend: str = "auto",
+    mesh: str | None = None,
     profile: bool = False,
     profile_trace: str | None = None,
 ) -> None:
@@ -245,21 +262,39 @@ def run_gci(
             hifi, nano, directory, prefix, map_qual, mq_cutoff, iden_percent,
             ovlp_percent, clip_percent, flank_len, threshold, plot, depth_min,
             depth_max, window_size, image_type, force, dist_percent, reference,
-            regions, chrs, threads, depth_backend,
+            regions, chrs, threads, depth_backend, mesh,
         )
     if profile:
         print("\n=== stage metrics ===")
         print(get_metrics().report())
 
 
+def _host_view(depths):
+    """Event-space host view of a depth mapping (regions re-collapse, plots).
+
+    Sharded device depths convert lazily (one run-boundary bitmap transfer);
+    everything else passes through untouched.
+    """
+    from gci_tpu.depth.sharded import ShardedDepth
+
+    return depths.to_events() if isinstance(depths, ShardedDepth) else depths
+
+
 def _run_gci_inner(
     hifi, nano, directory, prefix, map_qual, mq_cutoff, iden_percent,
     ovlp_percent, clip_percent, flank_len, threshold, plot, depth_min,
     depth_max, window_size, image_type, force, dist_percent, reference,
-    regions, chrs, threads, depth_backend,
+    regions, chrs, threads, depth_backend, mesh=None,
 ) -> None:
     from gci_tpu.io.bed import read_bed_dict
     from gci_tpu.io.bam import read_bam_header
+
+    if depth_backend == "sharded":
+        # one Mesh for the whole run so hifi/nano/two-type share shardings
+        # and compiled programs
+        from gci_tpu.depth.sharded import parse_mesh_spec
+
+        mesh = parse_mesh_spec(mesh)
 
     chrs_list = chrs.strip().split(",") if chrs is not None else []
 
@@ -363,6 +398,7 @@ def _run_gci_inner(
         chrs_list=chrs_list,
         threads=threads,
         depth_backend=depth_backend,
+        mesh=mesh,
     )
 
     if nano is None or hifi is None:
@@ -379,15 +415,16 @@ def _run_gci_inner(
         )
         compute_continuity_report(
             targets_length, prefix, directory, force, [merged_bed], [type_label],
-            flank_len, dist_percent, regions_bed, [depths], threshold, chrs_list,
+            flank_len, dist_percent, regions_bed,
+            [_host_view(depths) if regions_bed else depths], threshold, chrs_list,
         )
         if plot:
             from gci_tpu.viz.plot import plot_depth_files
 
             plot_depth_files(
-                [depths], depth_min, depth_max, window_size, image_type,
-                directory, prefix, force, targets_length, dist_percent,
-                regions_bed, threshold,
+                [_host_view(depths)], depth_min, depth_max, window_size,
+                image_type, directory, prefix, force, targets_length,
+                dist_percent, regions_bed, threshold,
             )
     else:
         if set(hifi_refs_lengths) != set(nano_refs_lengths):
@@ -425,19 +462,24 @@ def _run_gci_inner(
         two_bed = emit_issue_bed(
             two_type, prefix + "_two_type", threshold, flank_len, directory, force, "two_types"
         )
+        depths_for_report = (
+            [_host_view(hifi_depths), _host_view(nano_depths), _host_view(two_type)]
+            if regions_bed
+            else [hifi_depths, nano_depths, two_type]
+        )
         compute_continuity_report(
             targets_length, prefix, directory, force,
             [hifi_bed, nano_bed, two_bed], ["HiFi", "Nano", "HiFi + Nano"],
             flank_len, dist_percent, regions_bed,
-            [hifi_depths, nano_depths, two_type], threshold, chrs_list,
+            depths_for_report, threshold, chrs_list,
         )
         if plot:
             from gci_tpu.viz.plot import plot_depth_files
 
             plot_depth_files(
-                [hifi_depths, nano_depths], depth_min, depth_max, window_size,
-                image_type, directory, prefix, force, targets_length,
-                dist_percent, regions_bed, threshold,
+                [_host_view(hifi_depths), _host_view(nano_depths)], depth_min,
+                depth_max, window_size, image_type, directory, prefix, force,
+                targets_length, dist_percent, regions_bed, threshold,
             )
 
     print("GCI finished!!!\nBye!!!")

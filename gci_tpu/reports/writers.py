@@ -41,10 +41,16 @@ def emit_issue_bed(
     print(f"Getting {log_reads_type} issues bed file detected by GCI ...")
     path = f"{directory}/{prefix}.{threshold}.depth.bed"
     _require_writable(path, force)
-    if precomputed is None:
-        merged = collapse_depth_dict(depths, -1, threshold, flank_len, 0)
-    else:
+    if precomputed is not None:
         merged = precomputed
+    else:
+        from gci_tpu.depth.sharded import ShardedDepth
+
+        if isinstance(depths, ShardedDepth):
+            # device path: sharded in-range mask + ppermute-stitched edges
+            merged = depths.collapse_dict(-1, threshold, flank_len, 0)
+        else:
+            merged = collapse_depth_dict(depths, -1, threshold, flank_len, 0)
     write_bed_dict(path, merged)
     print(f"Getting {log_reads_type} issues bed file done!!!\n\n")
     return merged

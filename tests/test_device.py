@@ -15,6 +15,7 @@ from gci_tpu.depth.device import (
     make_sharded_depth_fn,
     make_sharded_interval_fn,
     pack_read_deltas,
+    pack_read_deltas_sharded,
     two_type_max,
 )
 from gci_tpu.intervals import collapse_depth_dict
@@ -68,8 +69,10 @@ def test_sharded_depth_and_intervals(rng, n_devices):
 
     total = layout.total_slots
     pad_total = total + ((-total) % gp)
-    gs, ge, live = pack_read_deltas(layout, tid, start, end, 15)
-    gs, ge, live = (pad_to_multiple(x, dp) for x in (gs, ge, live))
+    packed = pack_read_deltas_sharded(layout, tid, start, end, 15, pad_total // gp)
+    packed = tuple(
+        pad_to_multiple(a, dp, fill=f) for a, f in zip(packed, (-1, 0, -1, 0, 0))
+    )
     valid = np.zeros(pad_total, dtype=bool)
     valid[:total] = build_scan_valid(layout, 15)
 
@@ -78,7 +81,7 @@ def test_sharded_depth_and_intervals(rng, n_devices):
     depth_fn = make_sharded_depth_fn(mesh, pad_total)
     interval_fn = make_sharded_interval_fn(mesh, pad_total)
     with mesh:
-        depth = depth_fn(jnp.asarray(gs), jnp.asarray(ge), jnp.asarray(live))
+        depth = depth_fn(*(jnp.asarray(a) for a in packed))
         m, rise, fall = interval_fn(
             depth, jnp.asarray(valid),
             jnp.asarray([-1], dtype=jnp.int32), jnp.asarray([0], dtype=jnp.int32),
