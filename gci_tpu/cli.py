@@ -129,6 +129,21 @@ def build_parser() -> argparse.ArgumentParser:
         "implies --device sharded [None]",
     )
     group_tpu.add_argument(
+        "--coordinator", metavar="HOST:PORT", default=None,
+        help="Multi-host runs: jax.distributed coordinator address (launch "
+        "one process per host with --num-processes/--process-id; process 0 "
+        "writes the outputs). Unset: single-process, or auto-detected from "
+        "the cluster environment [None]",
+    )
+    group_tpu.add_argument(
+        "--num-processes", metavar="INT", type=int, default=None,
+        help="Multi-host runs: total number of processes [None]",
+    )
+    group_tpu.add_argument(
+        "--process-id", metavar="INT", type=int, default=None,
+        help="Multi-host runs: this process's index [None]",
+    )
+    group_tpu.add_argument(
         "--profile", action="store_const", const=True, default=False,
         help="Print per-stage wall-clock/throughput metrics at the end [False]",
     )
@@ -197,6 +212,14 @@ def main(argv: list[str] | None = None) -> None:
     validate_args(args)
     if args["mesh"] is not None and args["depth_backend"] != "sharded":
         args["depth_backend"] = "sharded"
+
+    from gci_tpu.parallel.distributed import init_multihost
+
+    init_multihost(
+        coordinator_address=args.pop("coordinator"),
+        num_processes=args.pop("num_processes"),
+        process_id=args.pop("process_id"),
+    )
     print(f"Used arguments:{args}")
 
     from gci_tpu.utils.jaxcache import enable_compile_cache

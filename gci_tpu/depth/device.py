@@ -330,16 +330,26 @@ def edges_to_intervals(
 ) -> dict[str, list[tuple[int, int]]]:
     """Compact device edge bitmaps into reference-exact interval dicts.
 
-    ``mask_last_valid`` is the in-range mask restricted to valid positions
-    (needed to close runs still open at each target's final scanned index).
     Applies the reference emission quirks (drop when the run terminates at a
     scan index <= flank_len; final-position closure).
     """
+    return edge_indices_to_intervals(
+        layout, np.flatnonzero(rise), np.flatnonzero(fall), flank_len, start_pos
+    )
+
+
+def edge_indices_to_intervals(
+    layout: GenomeLayout,
+    rise_idx: np.ndarray,
+    fall_idx: np.ndarray,
+    flank_len: int,
+    start_pos: int = 0,
+) -> dict[str, list[tuple[int, int]]]:
+    """Same compaction from already-extracted edge *indices* (sorted, global
+    concatenated-axis coordinates) — the O(edges) device->host handoff."""
     from gci_tpu.intervals.collapse import runs_to_intervals
 
     out: dict[str, list[tuple[int, int]]] = {}
-    rise_idx = np.flatnonzero(rise)
-    fall_idx = np.flatnonzero(fall)
     for k, name in enumerate(layout.names):
         L = int(layout.lengths[k])
         o = int(layout.offsets[k])

@@ -1,0 +1,332 @@
+"""Single-chip device-resident depth: the fused Pallas production path.
+
+``depth_backend="device"`` routes ``run_gci`` through this module.  One
+invocation of the fused scan kernel (gci_tpu.depth.pallas_scan.
+fused_depth_scan_masked) replaces the reference's four hot per-base loops —
+depth accumulation (GCI.py:302-306), gap masking (GCI.py:315-329), the issue
+interval scan (GCI.py:356-390) and the run boundaries behind the checkpoint
+writer (GCI.py:99-143) — with a single HBM pass on the concatenated genome
+axis.  Everything that leaves the device is O(reads + runs + edges):
+
+* the checkpoint writer reads run boundaries (compacted ON device with a
+  count + static-size ``flatnonzero``, so the transfer is O(runs) indices,
+  not an O(genome) bitmap) plus one value gather;
+* the issue BED reads edge indices (same compaction);
+* the per-base axis itself never crosses to host.
+
+Off-TPU (CPU tests, unaligned shapes) the same math runs as one fused XLA
+program (``fused_depth_scan_masked_xla``); both are asserted equal to the
+numpy oracle.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from gci_tpu.depth.accum import GenomeLayout
+from gci_tpu.depth.base import ResidentDepth, events_from_change_indices
+
+
+# ---------------------------------------------------------------------------
+# jitted building blocks (cached so repeated pipeline stages share programs)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=1)
+def _elementwise_fns():
+    import jax
+    import jax.numpy as jnp
+
+    mask = jax.jit(lambda d, marks: jnp.where(marks != 0, 0, d))
+    vmax = jax.jit(jnp.maximum)
+
+    def _change(x):
+        prev = jnp.concatenate([x[:1] - 1, x[:-1]])  # forces change at 0
+        return (x != prev).astype(jnp.int8)
+
+    def _edges(depth, valid, lo, hi):
+        m = (depth > lo[0]) & (depth <= hi[0]) & (valid != 0)
+        prev = jnp.concatenate([jnp.zeros(1, bool), m[:-1]])
+        return (m & ~prev).astype(jnp.int8), (~m & prev).astype(jnp.int8)
+
+    return mask, vmax, jax.jit(_change), jax.jit(_edges)
+
+
+@functools.lru_cache(maxsize=64)
+def _flatnonzero_fn(size: int):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda x: jnp.flatnonzero(x, size=size, fill_value=-1))
+
+
+def compact_indices(bitmap) -> np.ndarray:
+    """Device-side compaction of a nonzero bitmap into sorted int64 indices.
+
+    Count first (scalar readback), then a static-size ``flatnonzero`` padded
+    to the next power of two (bounds recompiles to log2 sizes).  Transfers
+    O(k) indices instead of the O(genome) bitmap — this is what keeps the
+    device->host hop cheap on narrow host links.
+    """
+    import jax.numpy as jnp
+
+    # int32 count is safe: DeviceDepth axes are int32-indexed (< 2^31 slots)
+    n = int(jnp.sum(bitmap != 0))
+    if n == 0:
+        return np.empty(0, np.int64)
+    size = 1 << (n - 1).bit_length()
+    idx = _flatnonzero_fn(size)(bitmap)
+    return np.asarray(idx[:n]).astype(np.int64)
+
+
+@functools.lru_cache(maxsize=16)
+def _fused_fn(pad_total: int):
+    """Scatter + fused scan as one compiled program (static genome size)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gci_tpu.depth.pallas_scan import (
+        DEF_ROWS,
+        LANES,
+        fused_depth_scan_masked,
+        fused_depth_scan_masked_xla,
+    )
+
+    use_kernel = (
+        jax.default_backend() == "tpu" and pad_total % (DEF_ROWS * LANES) == 0
+    )
+
+    def step(gs, ge, live, gap, valid, lo, hi):
+        delta = jnp.zeros(pad_total, jnp.int32)
+        delta = delta.at[gs].add(live, mode="drop")
+        delta = delta.at[ge].add(-live, mode="drop")
+        if use_kernel:
+            return fused_depth_scan_masked(delta, gap, valid, lo, hi)
+        return fused_depth_scan_masked_xla(delta, gap, valid, lo, hi)
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# the resident-depth value
+# ---------------------------------------------------------------------------
+
+class DeviceDepth(ResidentDepth):
+    """One read-type's whole-genome depth resident on a single device.
+
+    Drop-in value for the pipeline's depth dictionaries (same dispatch
+    surface as ``ShardedDepth``): gap masking, two-type max, interval
+    collapse and checkpoint serialization stay on device; issue intervals
+    for the run's threshold come pre-extracted from the fused kernel pass.
+    """
+
+    def __init__(self, layout: GenomeLayout, array, pad_total: int,
+                 gap_marks=None, gaps_src=None, edge_cache=None,
+                 change_idx: np.ndarray | None = None):
+        self.layout = layout
+        self.array = array          # jax int32 (pad_total,) — current depth
+        self.pad_total = pad_total
+        self.gap_marks = gap_marks  # jax int8 gap indicator, shared per run
+        self._gaps_src = gaps_src   # the gaps dict gap_marks was built from
+        self._edge_cache: dict = dict(edge_cache or {})
+        self._change_idx = change_idx  # run boundaries of self.array
+        self._pending_masked_edges = None  # (key, intervals) valid post-mask
+        self._events = None
+
+    # ------------------------------------------------------------ construct
+    @staticmethod
+    def pad_total_for(total: int) -> int:
+        import jax
+
+        unit = 8
+        if jax.default_backend() == "tpu":
+            from gci_tpu.depth.pallas_scan import DEF_ROWS, LANES
+
+            unit = DEF_ROWS * LANES
+        return total + ((-total) % unit)
+
+    @staticmethod
+    def gap_marks_for(layout: GenomeLayout, gaps, pad_total: int):
+        """Device int8 gap indicator from N-gap intervals (None if no gaps).
+
+        Built on device from O(gaps) scatter events + one prefix sum — the
+        host never materializes a per-base mask.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        index = {n: k for k, n in enumerate(layout.names)}
+        starts: list[int] = []
+        stops: list[int] = []
+        for t, segs in (gaps or {}).items():
+            k = index.get(t)
+            if k is None:
+                continue
+            o = int(layout.offsets[k])
+            L = int(layout.lengths[k])
+            for s, e in segs:
+                s, e = max(0, min(int(s), L)), max(0, min(int(e), L))
+                if e > s:
+                    starts.append(o + s)
+                    stops.append(o + e)
+        if not starts:
+            return None
+
+        from gci_tpu.depth.device import _local_prefix_sum
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def marks(gs, ge, n):
+            delta = jnp.zeros(n, jnp.int32)
+            delta = delta.at[gs].add(1, mode="drop")
+            delta = delta.at[ge].add(-1, mode="drop")
+            return (_local_prefix_sum(delta) > 0).astype(jnp.int8)
+
+        return marks(
+            jnp.asarray(np.asarray(starts, np.int32)),
+            jnp.asarray(np.asarray(stops, np.int32)),
+            n=pad_total,
+        )
+
+    @classmethod
+    def from_reads(
+        cls,
+        layout: GenomeLayout,
+        target_id: np.ndarray,
+        start: np.ndarray,
+        end: np.ndarray,
+        flank_len: int,
+        gaps=None,
+        issue_range: tuple[int, int] = (-1, 0),
+    ) -> "DeviceDepth":
+        """One fused pass: depth + checkpoint run boundaries + issue edges.
+
+        ``issue_range=(leftmost, rightmost]`` is the run's issue threshold;
+        the edges the kernel extracts are of the *gap-masked* depth, so the
+        resulting intervals become this object's cached issue BED once
+        ``mask_gaps`` is applied (they are immediately valid when there are
+        no gaps).
+        """
+        import jax.numpy as jnp
+
+        from gci_tpu.depth.device import (
+            build_scan_valid,
+            edge_indices_to_intervals,
+            pack_read_deltas,
+        )
+
+        pad_total = cls.pad_total_for(layout.total_slots)
+        gs, ge, live = pack_read_deltas(layout, target_id, start, end, flank_len)
+        gap_marks = cls.gap_marks_for(layout, gaps, pad_total)
+        valid = build_scan_valid(layout, flank_len, pad_total)
+        lo, hi = issue_range
+        gap_in = (
+            gap_marks
+            if gap_marks is not None
+            else jnp.zeros(pad_total, jnp.int8)
+        )
+        raw, rise, fall, change = _fused_fn(pad_total)(
+            jnp.asarray(gs), jnp.asarray(ge), jnp.asarray(live),
+            gap_in, jnp.asarray(valid.astype(np.int8)),
+            jnp.int32(lo), jnp.int32(hi),
+        )
+        change_idx = compact_indices(change)
+        intervals = edge_indices_to_intervals(
+            layout, compact_indices(rise), compact_indices(fall), flank_len
+        )
+        dd = cls(layout, raw, pad_total, gap_marks, gaps_src=gaps,
+                 change_idx=change_idx)
+        key = (float(lo), float(hi), int(flank_len))
+        dd._pending_masked_edges = (key, intervals)
+        if gap_marks is None:
+            dd._edge_cache[key] = intervals
+        return dd
+
+    # ------------------------------------------------------------------ ops
+    def mask_gaps(self, gaps) -> "DeviceDepth":
+        """Zero depth over N-gap intervals, on device (GCI.py:315-329)."""
+        if not gaps:
+            return self
+        marks = self.gap_marks
+        pending = self._pending_masked_edges
+        if marks is None or gaps is not self._gaps_src:
+            marks = self.gap_marks_for(self.layout, gaps, self.pad_total)
+            if marks is None:
+                return self
+            pending = None  # kernel edges were computed under different gaps
+        mask_fn, *_ = _elementwise_fns()
+        arr = mask_fn(self.array, marks)
+        cache = {pending[0]: pending[1]} if pending is not None else {}
+        return DeviceDepth(self.layout, arr, self.pad_total, marks,
+                           gaps_src=gaps, edge_cache=cache)
+
+    def maximum(self, other: "DeviceDepth") -> "DeviceDepth":
+        """Per-base two-type max, on device (GCI.py:332-353)."""
+        assert self.pad_total == other.pad_total
+        _, vmax, *_ = _elementwise_fns()
+        return DeviceDepth(
+            self.layout, vmax(self.array, other.array), self.pad_total,
+            self.gap_marks, gaps_src=self._gaps_src,
+        )
+
+    def collapse_dict(
+        self,
+        leftmost: float = -1,
+        rightmost: float = 0,
+        flank_len: int = 15,
+        start_pos: int = 0,
+    ) -> dict[str, list[tuple[int, int]]]:
+        """Issue intervals (GCI.py:356-390): cached from the fused kernel
+        pass when the query matches the run threshold, else one fused XLA
+        edge pass + O(edges) compaction."""
+        key = (float(leftmost), float(rightmost), int(flank_len))
+        if start_pos == 0 and key in self._edge_cache:
+            return self._edge_cache[key]
+        import jax.numpy as jnp
+
+        from gci_tpu.depth.device import build_scan_valid, edge_indices_to_intervals
+
+        valid = build_scan_valid(self.layout, flank_len, self.pad_total)
+        *_, edges_fn = _elementwise_fns()
+        rise, fall = edges_fn(
+            self.array,
+            jnp.asarray(valid),
+            jnp.asarray([leftmost], jnp.int32),
+            jnp.asarray([rightmost], jnp.int32),
+        )
+        out = edge_indices_to_intervals(
+            self.layout, compact_indices(rise), compact_indices(fall),
+            flank_len, start_pos,
+        )
+        if start_pos == 0:
+            self._edge_cache[key] = out
+        return out
+
+    # ------------------------------------------------------------ host view
+    def to_events(self):
+        """O(runs) host view: {target: DepthEvents} (checkpoint, regions,
+        plotting).  Run boundaries come straight from the fused kernel when
+        available; values from one device gather."""
+        if self._events is not None:
+            return self._events
+        import jax.numpy as jnp
+
+        if self._change_idx is None:
+            _, _, change_fn, _ = _elementwise_fns()
+            self._change_idx = compact_indices(change_fn(self.array))
+
+        def gather(all_idx: np.ndarray) -> np.ndarray:
+            return np.asarray(
+                jnp.take(self.array, jnp.asarray(all_idx.astype(np.int32)))
+            ).astype(np.int64)
+
+        self._events = events_from_change_indices(
+            self.layout, self._change_idx, gather
+        )
+        return self._events
+
+    def materialize_dict(self) -> dict[str, np.ndarray]:
+        """Per-target per-base arrays (tests/oracles only — O(genome) host)."""
+        from gci_tpu.depth.accum import depth_dict_from_flat
+
+        flat = np.asarray(self.array)[: self.layout.total_slots]
+        return depth_dict_from_flat(self.layout, flat)

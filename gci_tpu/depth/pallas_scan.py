@@ -56,6 +56,18 @@ def _sublane_exclusive_scan(col):
     return inc - col
 
 
+def _linear_prev(m, prev0):
+    """Row-major linear-order predecessor of each element of an (R, 128)
+    int32 tile; ``prev0`` (scalar) seeds the predecessor of element (0, 0)."""
+    last_col = m[:, LANES - 1 :]
+    rolled_col = pltpu.roll(last_col, 1, 0)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, last_col.shape, 0)
+    boundary_col = jnp.where(row_idx == 0, prev0, rolled_col)
+    prev_lane = pltpu.roll(m, 1, 1)
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
+    return jnp.where(lane_idx == 0, boundary_col, prev_lane)
+
+
 def _scan_kernel(carry_val, seed_valid_val, lo, hi,
                  delta_ref, valid_ref, depth_ref, rise_ref, fall_ref):
     x = delta_ref[:]
@@ -69,20 +81,49 @@ def _scan_kernel(carry_val, seed_valid_val, lo, hi,
     # int32 mask: Mosaic's rotate only supports 32-bit lanes
     m = ((depth > lo) & (depth <= hi) & valid).astype(jnp.int32)
 
-    # prev in linear (row-major) order
     prev0 = (
         (carry_val > lo) & (carry_val <= hi) & (seed_valid_val != 0)
     ).astype(jnp.int32)
-    last_col = m[:, LANES - 1 :]
-    rolled_col = pltpu.roll(last_col, 1, 0)
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, last_col.shape, 0)
-    boundary_col = jnp.where(row_idx == 0, prev0, rolled_col)
-    prev_lane = pltpu.roll(m, 1, 1)
-    lane_idx = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
-    prev = jnp.where(lane_idx == 0, boundary_col, prev_lane)
+    prev = _linear_prev(m, prev0)
 
     rise_ref[:] = ((m == 1) & (prev == 0)).astype(jnp.int8)
     fall_ref[:] = ((m == 0) & (prev == 1)).astype(jnp.int8)
+
+
+def _scan_masked_kernel(is_first, carry_val, seed_valid_val, seed_gap_val, lo, hi,
+                        delta_ref, gap_ref, valid_ref,
+                        depth_ref, rise_ref, fall_ref, change_ref):
+    """The production single-pass kernel (see ``fused_depth_scan_masked``)."""
+    x = delta_ref[:]
+    row_cs = _lane_inclusive_scan(x)
+    row_tot = row_cs[:, LANES - 1 :]
+    row_carry = _sublane_exclusive_scan(row_tot)
+    raw = row_cs + row_carry + carry_val
+    depth_ref[:] = raw
+
+    gap = gap_ref[:] != 0
+    masked = jnp.where(gap, 0, raw)
+    valid = valid_ref[:] != 0
+    m = ((masked > lo) & (masked <= hi) & valid).astype(jnp.int32)
+
+    # masked depth just before this chunk: the raw carry, zeroed if that
+    # slot sits inside a gap
+    prev_masked0 = jnp.where(seed_gap_val != 0, 0, carry_val)
+    prev0 = (
+        (prev_masked0 > lo) & (prev_masked0 <= hi) & (seed_valid_val != 0)
+    ).astype(jnp.int32)
+    prev = _linear_prev(m, prev0)
+    rise_ref[:] = ((m == 1) & (prev == 0)).astype(jnp.int8)
+    fall_ref[:] = ((m == 0) & (prev == 1)).astype(jnp.int8)
+
+    # raw run boundaries (RLE checkpoint): raw[i] != raw[i-1], with a forced
+    # boundary at global position 0
+    prev_raw = _linear_prev(raw, carry_val)
+    change = raw != prev_raw
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, raw.shape, 0)
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, raw.shape, 1)
+    force0 = is_first & (row_idx == 0) & (lane_idx == 0)
+    change_ref[:] = (change | force0).astype(jnp.int8)
 
 
 def _scan_only_kernel(carry_val, delta_ref, depth_ref):
@@ -201,3 +242,111 @@ def fused_depth_scan(
         rise.reshape(total),
         fall.reshape(total),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+def fused_depth_scan_masked(
+    delta: jax.Array,       # (n_chunks*rows*128,) int32 scatter deltas
+    gap: jax.Array,         # same shape, int8 N-gap indicator (1 inside gaps)
+    valid: jax.Array,       # same shape, int8 scan-window validity
+    leftmost,
+    rightmost,
+    rows: int = DEF_ROWS,
+    interpret: bool = False,
+):
+    """One-pass production scan: (raw_depth, rise, fall, change).
+
+    The pipeline's whole per-base stage graph fused into a single HBM pass
+    (reference GCI.py:302-306 depth + 315-329 gap mask + 356-390 interval
+    scan + the RLE boundaries of GCI.py:99-143's checkpoint):
+
+    * ``raw_depth`` — the prefix-summed depth *before* gap masking (what the
+      ``.depth.gz`` checkpoint stores);
+    * ``rise``/``fall`` — issue-interval edges of the *gap-masked* depth
+      against ``(leftmost, rightmost]`` within ``valid`` positions;
+    * ``change`` — run boundaries of the raw depth (``raw[i] != raw[i-1]``,
+      forced True at position 0) for O(runs) checkpoint readback.
+
+    The masked depth itself is never written to HBM — it exists only in VMEM
+    for the edge computation, and is reconstructed on demand as
+    ``where(gap, 0, raw)`` (one cheap fused elementwise op).
+    """
+    total = delta.shape[0]
+    chunk = rows * LANES
+    assert total % chunk == 0, "pad the axis to a chunk multiple"
+    n_chunks = total // chunk
+
+    d2 = delta.reshape(n_chunks, rows, LANES)
+    sums = jnp.sum(d2, axis=(1, 2), dtype=jnp.int32)
+    carry = jnp.cumsum(sums) - sums  # exclusive, (n_chunks,)
+
+    g2 = gap.reshape(n_chunks, rows, LANES)
+    v2 = valid.reshape(n_chunks, rows, LANES)
+    # validity / gap state of the slot just before each chunk (False for 0)
+    seed_valid = jnp.concatenate(
+        [jnp.zeros(1, valid.dtype), valid[chunk - 1 :: chunk][:-1]]
+    ).astype(jnp.int32)
+    seed_gap = jnp.concatenate(
+        [jnp.zeros(1, gap.dtype), gap[chunk - 1 :: chunk][:-1]]
+    ).astype(jnp.int32)
+
+    lo = jnp.full((n_chunks,), leftmost, jnp.int32)
+    hi = jnp.full((n_chunks,), rightmost, jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,  # carry, seed_valid, seed_gap, lo, hi
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
+        ],
+    )
+
+    def kernel(carry_s, seedv_s, seedg_s, lo_s, hi_s, delta_b, gap_b, valid_b,
+               depth_b, rise_b, fall_b, change_b):
+        i = pl.program_id(0)
+        _scan_masked_kernel(
+            i == 0, carry_s[i], seedv_s[i], seedg_s[i], lo_s[i], hi_s[i],
+            delta_b.at[0], gap_b.at[0], valid_b.at[0],
+            depth_b.at[0], rise_b.at[0], fall_b.at[0], change_b.at[0],
+        )
+
+    depth, rise, fall, change = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int8),
+            jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int8),
+            jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int8),
+        ],
+        interpret=interpret,
+    )(carry, seed_valid, seed_gap, lo, hi, d2, g2, v2)
+    return (
+        depth.reshape(total),
+        rise.reshape(total),
+        fall.reshape(total),
+        change.reshape(total),
+    )
+
+
+def fused_depth_scan_masked_xla(delta, gap, valid, leftmost, rightmost):
+    """XLA implementation of ``fused_depth_scan_masked`` (non-TPU backends,
+    unaligned shapes, and the parity oracle for the kernel)."""
+    raw = jnp.cumsum(delta).astype(jnp.int32)
+    masked = jnp.where(gap != 0, 0, raw)
+    v = valid != 0
+    m = (masked > leftmost) & (masked <= rightmost) & v
+    prev = jnp.concatenate([jnp.zeros(1, bool), m[:-1]])
+    rise = (m & ~prev).astype(jnp.int8)
+    fall = (~m & prev).astype(jnp.int8)
+    prev_raw = jnp.concatenate([raw[:1] - 1, raw[:-1]])  # forces change at 0
+    change = (raw != prev_raw).astype(jnp.int8)
+    return raw, rise, fall, change

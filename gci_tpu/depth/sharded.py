@@ -22,6 +22,7 @@ import functools
 import numpy as np
 
 from gci_tpu.depth.accum import GenomeLayout
+from gci_tpu.depth.base import ResidentDepth, events_from_change_indices
 
 _INT32_MAX = np.iinfo(np.int32).max
 
@@ -57,6 +58,92 @@ def _mask_max_fns():
     return mask, vmax
 
 
+def _to_global(mesh, packed: tuple[np.ndarray, ...]):
+    """dp-sharded global device arrays from host arrays (multi-process aware).
+
+    Single-process: plain transfers.  Multi-process: every host holds the
+    full packed arrays; each contributes only the dp chunks its addressable
+    devices own (``jax.make_array_from_process_local_data``), so the device
+    feed is per-host input sharding and the dp-psum that merges the partial
+    depth deltas is the DCN-crossing collective.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if jax.process_count() == 1:
+        return tuple(jnp.asarray(a) for a in packed)
+    sharding = NamedSharding(mesh, P("dp"))
+    dp = mesh.shape["dp"]
+    me = jax.process_index()
+    owned = sorted({
+        int(pos[0])
+        for pos, dev in np.ndenumerate(mesh.devices)
+        if dev.process_index == me
+    })
+    out = []
+    for a in packed:
+        chunk = a.shape[0] // dp
+        local = (
+            np.concatenate([a[d * chunk : (d + 1) * chunk] for d in owned])
+            if owned
+            else a[:0]
+        )
+        out.append(
+            jax.make_array_from_process_local_data(sharding, local, a.shape)
+        )
+    return tuple(out)
+
+
+def _gp_global(mesh, a: np.ndarray):
+    """gp-sharded global device array from identical full host arrays."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if jax.process_count() == 1:
+        return jnp.asarray(a)
+    sharding = NamedSharding(mesh, P("gp"))
+    gp = mesh.shape["gp"]
+    me = jax.process_index()
+    owned = sorted({
+        int(pos[1])
+        for pos, dev in np.ndenumerate(mesh.devices)
+        if dev.process_index == me
+    })
+    chunk = a.shape[0] // gp
+    local = (
+        np.concatenate([a[g * chunk : (g + 1) * chunk] for g in owned])
+        if owned
+        else a[:0]
+    )
+    return jax.make_array_from_process_local_data(sharding, local, a.shape)
+
+
+def _replicated_global(mesh, a: np.ndarray):
+    """Fully-replicated global device array from identical host data."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if jax.process_count() == 1:
+        return jnp.asarray(a)
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P()), a, a.shape
+    )
+
+
+def _host_all(x) -> np.ndarray:
+    """Full host copy of a (possibly gp-sharded) global array, every process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def parse_mesh_spec(spec: str | None = None, n_devices: int | None = None):
     """'dp,gp' | 'auto' | None -> a (dp, gp) jax Mesh over local devices."""
     from gci_tpu.parallel.mesh import make_mesh
@@ -70,7 +157,7 @@ def parse_mesh_spec(spec: str | None = None, n_devices: int | None = None):
     return make_mesh(dp * gp, dp=dp)
 
 
-class ShardedDepth:
+class ShardedDepth(ResidentDepth):
     """One read-type's whole-genome depth, gp-sharded on a device mesh.
 
     Drop-in value for the pipeline's depth dictionaries: gap masking,
@@ -110,22 +197,43 @@ class ShardedDepth:
         end: np.ndarray,
         flank_len: int,
     ) -> "ShardedDepth":
+        import jax
         import jax.numpy as jnp
 
         from gci_tpu.depth.device import pack_read_deltas_sharded
-        from gci_tpu.parallel.mesh import pad_to_multiple
 
         dp = mesh.shape["dp"]
         pad_total = cls._pad_total(mesh, layout.total_slots)
         shard = pad_total // mesh.shape["gp"]
-        packed = pack_read_deltas_sharded(
-            layout, target_id, start, end, flank_len, shard
-        )
-        packed = tuple(pad_to_multiple(a, dp, fill=f)
-                       for a, f in zip(packed, (-1, 0, -1, 0, 0)))
+        n = target_id.shape[0]
+        n_padded = n + ((-n) % dp)
+        if jax.process_count() > 1:
+            # per-host input shard: pack only the rows whose dp chunks live
+            # on this process's devices (gci_tpu.parallel.distributed)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from gci_tpu.parallel.distributed import owned_dp_rows
+
+            lo, hi = owned_dp_rows(mesh, n_padded)
+            sl = slice(lo, min(hi, n))
+            packed = pack_read_deltas_sharded(
+                layout, target_id[sl], start[sl], end[sl], flank_len, shard,
+                pad_to=hi - lo,
+            )
+            sharding = NamedSharding(mesh, P("dp"))
+            arrs = tuple(
+                jax.make_array_from_process_local_data(sharding, a, (n_padded,))
+                for a in packed
+            )
+        else:
+            packed = pack_read_deltas_sharded(
+                layout, target_id, start, end, flank_len, shard,
+                pad_to=n_padded,
+            )
+            arrs = tuple(jnp.asarray(a) for a in packed)
         fn = _depth_fn(mesh, pad_total)
         with mesh:
-            arr = fn(*(jnp.asarray(a) for a in packed))
+            arr = fn(*arrs)
         return cls(mesh, layout, arr, pad_total)
 
     # ------------------------------------------------------------------ ops
@@ -167,7 +275,7 @@ class ShardedDepth:
         fn = _depth_fn(self.mesh, self.pad_total)
         mask_fn, _ = _mask_max_fns()
         with self.mesh:
-            marks = fn(*(jnp.asarray(a) for a in packed))
+            marks = fn(*_to_global(self.mesh, packed))
             arr = mask_fn(self.array, marks)
         return ShardedDepth(self.mesh, self.layout, arr, self.pad_total)
 
@@ -196,12 +304,12 @@ class ShardedDepth:
         with self.mesh:
             m, rise, fall = fn(
                 self.array,
-                jnp.asarray(valid),
-                jnp.asarray([leftmost], jnp.int32),
-                jnp.asarray([rightmost], jnp.int32),
+                _gp_global(self.mesh, valid),
+                _replicated_global(self.mesh, np.asarray([leftmost], np.int32)),
+                _replicated_global(self.mesh, np.asarray([rightmost], np.int32)),
             )
         return edges_to_intervals(
-            self.layout, np.asarray(rise), np.asarray(fall), np.asarray(m),
+            self.layout, _host_all(rise), _host_all(fall), _host_all(m),
             flank_len, start_pos,
         )
 
@@ -218,53 +326,40 @@ class ShardedDepth:
             return self._events
         import jax.numpy as jnp
 
-        from gci_tpu.depth.eventspace import DepthEvents
+        import jax
 
         fn = _change_fn(self.mesh, self.pad_total)
         with self.mesh:
             change = fn(self.array)
-        idx = np.flatnonzero(np.asarray(change))
+        idx = np.flatnonzero(_host_all(change)).astype(np.int64)
 
-        # per-target boundary slices, with a forced boundary at each start
-        names = self.layout.names
-        gather: list[np.ndarray] = []
-        spans: list[tuple[int, int, int]] = []  # (gather_lo, gather_hi, L)
-        cursor = 0
-        for k in range(len(names)):
-            o = int(self.layout.offsets[k])
-            L = int(self.layout.lengths[k])
-            lo = np.searchsorted(idx, o, side="left")
-            hi = np.searchsorted(idx, o + L, side="left")
-            b = idx[lo:hi]
-            if b.shape[0] == 0 or b[0] != o:
-                b = np.concatenate([[o], b])
-            gather.append(b)
-            spans.append((cursor, cursor + b.shape[0], L))
-            cursor += b.shape[0]
-        all_idx = (
-            np.concatenate(gather) if gather else np.empty(0, np.int64)
-        )
-        if all_idx.shape[0]:
+        def gather(all_idx: np.ndarray) -> np.ndarray:
+            if jax.process_count() > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                take = jax.jit(
+                    jnp.take,
+                    out_shardings=NamedSharding(self.mesh, P()),
+                )
+                with self.mesh:
+                    vals = take(
+                        self.array,
+                        _replicated_global(
+                            self.mesh, all_idx.astype(np.int32)
+                        ),
+                    )
+                return np.asarray(vals).astype(np.int64)
             if self.pad_total <= _INT32_MAX:
                 with self.mesh:
-                    vals = np.asarray(
+                    return np.asarray(
                         jnp.take(self.array, jnp.asarray(all_idx.astype(np.int32)))
                     ).astype(np.int64)
-            else:  # >2^31 slots: gather shard-locally on host per index block
-                host = np.asarray(self.array)
-                vals = host[all_idx].astype(np.int64)
-        else:
-            vals = np.empty(0, np.int64)
+            # >2^31 slots: gather shard-locally on host per index block
+            host = np.asarray(self.array)
+            return host[all_idx].astype(np.int64)
 
-        out: dict[str, DepthEvents] = {}
-        for k, name in enumerate(names):
-            glo, ghi, L = spans[k]
-            b = gather[k] - int(self.layout.offsets[k])
-            out[name] = DepthEvents(
-                b.astype(np.int64), vals[glo:ghi], L
-            )._dedup()
-        self._events = out
-        return out
+        self._events = events_from_change_indices(self.layout, idx, gather)
+        return self._events
 
     def materialize_dict(self) -> dict[str, np.ndarray]:
         """Per-target per-base arrays (tests/oracles only — O(genome) host)."""

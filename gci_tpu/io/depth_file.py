@@ -200,13 +200,19 @@ def write_depth_gz(path: str, depths: dict, compresslevel: int = 6) -> None:
     ``DepthEvents`` (run-length encoded straight to text, no per-base
     materialization).
     """
+    from gci_tpu.depth.base import ResidentDepth
     from gci_tpu.depth.eventspace import DepthEvents
-    from gci_tpu.depth.sharded import ShardedDepth
 
-    if isinstance(depths, ShardedDepth):
+    if isinstance(depths, ResidentDepth):
         # device-resident depth: pull only run boundaries (O(runs)), feed the
-        # RLE->BGZF encoder — per-base text never materializes in Python
+        # RLE->BGZF encoder — per-base text never materializes in Python.
+        # All processes participate in the readback collectives; only the
+        # primary host touches the filesystem.
         depths = depths.to_events()
+    from gci_tpu.parallel.distributed import is_primary_host
+
+    if not is_primary_host():
+        return
 
     try:
         from gci_tpu.native import (

@@ -124,10 +124,10 @@ def mask_gaps_in_depths(
     """
     if gaps is None:
         return depths
+    from gci_tpu.depth.base import ResidentDepth
     from gci_tpu.depth.eventspace import DepthEvents
-    from gci_tpu.depth.sharded import ShardedDepth
 
-    if isinstance(depths, ShardedDepth):
+    if isinstance(depths, ResidentDepth):
         return depths.mask_gaps(gaps)
 
     for target, segments in gaps.items():

@@ -60,3 +60,49 @@ def current_host_shard() -> HostShard:
     import jax
 
     return HostShard(jax.process_index(), jax.process_count())
+
+
+def owned_dp_rows(mesh, n_rows: int) -> tuple[int, int]:
+    """Contiguous [lo, hi) range of a dp-sharded axis owned by this process.
+
+    This is the per-host input shard: on a pod slice each host packs only the
+    read records whose dp chunks live on its own devices; the dp-psum that
+    merges the partial depth deltas is then the only cross-host traffic.
+    ``n_rows`` must be a multiple of the mesh's dp size.
+    """
+    import jax
+    import numpy as np
+
+    dp = mesh.shape["dp"]
+    chunk = n_rows // dp
+    me = jax.process_index()
+    owned = sorted({
+        int(pos[0])
+        for pos, dev in np.ndenumerate(mesh.devices)
+        if dev.process_index == me
+    })
+    if not owned:
+        return (0, 0)
+    assert owned == list(range(owned[0], owned[-1] + 1)), (
+        "dp rows owned by one process must be contiguous"
+    )
+    return owned[0] * chunk, (owned[-1] + 1) * chunk
+
+
+def process_count() -> int:
+    import jax
+
+    return jax.process_count()
+
+
+def is_primary_host() -> bool:
+    """True on the process that owns file writes (process 0).
+
+    On a multi-host run every process executes the full pipeline (the
+    collectives are SPMD — all processes must participate), but exactly one
+    writes the output files; the reference's single-writer file semantics
+    (GCI.py:99-143 etc.) are preserved verbatim.  Always True single-process.
+    """
+    import jax
+
+    return jax.process_index() == 0

@@ -40,6 +40,10 @@ from gci_tpu.score.report import compute_continuity_report
 
 
 def _require_writable(path: str, force: bool) -> None:
+    from gci_tpu.parallel.distributed import is_primary_host
+
+    if not is_primary_host():
+        return
     if os.path.exists(path) and not force:
         sys.exit(
             f'ERROR!!! The file "{path}" exists\nPlease use "-f" or "--force" to rewrite'
@@ -63,8 +67,15 @@ def run_filter(
     threads: int = 4,
     depth_backend: str = "auto",
     mesh=None,
+    gaps=None,
+    threshold: int = 0,
 ) -> tuple[dict[str, np.ndarray], dict[str, int]]:
-    """Filter alignments of one read type into per-base depth (GCI.py:172-312)."""
+    """Filter alignments of one read type into per-base depth (GCI.py:172-312).
+
+    ``gaps``/``threshold`` feed the fused device backend so one kernel pass
+    can pre-extract the run's issue edges; other backends ignore them (gap
+    masking stays a separate pipeline stage, exactly as in the reference).
+    """
     _require_writable(f"{directory}/{prefix}.depth.gz", force)
     print(f"Filtering {log_reads_type} alignment files ...")
 
@@ -171,6 +182,16 @@ def run_filter(
             depths = events_dict_from_reads(
                 layout, curated.target_id, curated.start, curated.end, flank_len
             )
+        elif depth_backend == "device":
+            # single-chip production path: scatter + ONE fused Pallas pass
+            # (depth, gap-masked issue edges, checkpoint run boundaries);
+            # depth stays device-resident through the rest of the run
+            from gci_tpu.depth.fused import DeviceDepth
+
+            depths = DeviceDepth.from_reads(
+                layout, curated.target_id, curated.start, curated.end,
+                flank_len, gaps=gaps, issue_range=(-1, threshold),
+            )
         elif depth_backend == "sharded":
             # multi-chip path: genome axis gp-sharded on the mesh, reads
             # scattered dp-parallel; depth stays device-resident through
@@ -207,10 +228,10 @@ def merge_two_type_depths(
     """Per-base max of the two read types (GCI.py:332-353) + checkpoint."""
     print("Merging HiFi and ONT depth file ...")
     _require_writable(f"{directory}/{prefix}.depth.gz", force)
+    from gci_tpu.depth.base import ResidentDepth
     from gci_tpu.depth.eventspace import DepthEvents
-    from gci_tpu.depth.sharded import ShardedDepth
 
-    if isinstance(hifi_depths, ShardedDepth):
+    if isinstance(hifi_depths, ResidentDepth):
         merged = hifi_depths.maximum(nano_depths)
     else:
         merged = {
@@ -272,12 +293,12 @@ def run_gci(
 def _host_view(depths):
     """Event-space host view of a depth mapping (regions re-collapse, plots).
 
-    Sharded device depths convert lazily (one run-boundary bitmap transfer);
+    Device-resident depths convert lazily (one O(runs) boundary transfer);
     everything else passes through untouched.
     """
-    from gci_tpu.depth.sharded import ShardedDepth
+    from gci_tpu.depth.base import ResidentDepth
 
-    return depths.to_events() if isinstance(depths, ShardedDepth) else depths
+    return depths.to_events() if isinstance(depths, ResidentDepth) else depths
 
 
 def _run_gci_inner(
@@ -313,7 +334,7 @@ def _run_gci_inner(
         if not os.access(directory, os.W_OK):
             sys.exit(f'ERROR!!! The path "{directory}" is unable to write')
     else:
-        os.makedirs(directory)
+        os.makedirs(directory, exist_ok=True)  # multi-host: processes race here
 
     if prefix.endswith("/"):
         sys.exit(f'ERROR!!! The prefix "{prefix}" is not allowed')
@@ -326,7 +347,7 @@ def _run_gci_inner(
             if not os.access(img_dir, os.W_OK):
                 sys.exit(f'ERROR!!! The path "{img_dir}" is unable to write')
         else:
-            os.makedirs(img_dir)
+            os.makedirs(img_dir, exist_ok=True)
         image_type = image_type.lower()
 
     # ONE pass over the reference: record ids (consistency checks,
@@ -399,6 +420,8 @@ def _run_gci_inner(
         threads=threads,
         depth_backend=depth_backend,
         mesh=mesh,
+        gaps=gaps,
+        threshold=threshold,
     )
 
     if nano is None or hifi is None:
@@ -419,13 +442,18 @@ def _run_gci_inner(
             [_host_view(depths) if regions_bed else depths], threshold, chrs_list,
         )
         if plot:
+            from gci_tpu.parallel.distributed import is_primary_host
             from gci_tpu.viz.plot import plot_depth_files
 
-            plot_depth_files(
-                [_host_view(depths)], depth_min, depth_max, window_size,
-                image_type, directory, prefix, force, targets_length,
-                dist_percent, regions_bed, threshold,
-            )
+            # host views first: the to_events readback is a collective every
+            # process must join; only the primary host renders files
+            host_depths = [_host_view(depths)]
+            if is_primary_host():
+                plot_depth_files(
+                    host_depths, depth_min, depth_max, window_size,
+                    image_type, directory, prefix, force, targets_length,
+                    dist_percent, regions_bed, threshold,
+                )
     else:
         if set(hifi_refs_lengths) != set(nano_refs_lengths):
             sys.exit(
@@ -474,12 +502,15 @@ def _run_gci_inner(
             depths_for_report, threshold, chrs_list,
         )
         if plot:
+            from gci_tpu.parallel.distributed import is_primary_host
             from gci_tpu.viz.plot import plot_depth_files
 
-            plot_depth_files(
-                [_host_view(hifi_depths), _host_view(nano_depths)], depth_min,
-                depth_max, window_size, image_type, directory, prefix, force,
-                targets_length, dist_percent, regions_bed, threshold,
-            )
+            host_depths = [_host_view(hifi_depths), _host_view(nano_depths)]
+            if is_primary_host():
+                plot_depth_files(
+                    host_depths, depth_min, depth_max, window_size,
+                    image_type, directory, prefix, force, targets_length,
+                    dist_percent, regions_bed, threshold,
+                )
 
     print("GCI finished!!!\nBye!!!")

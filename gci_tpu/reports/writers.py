@@ -38,20 +38,26 @@ def emit_issue_bed(
     ``precomputed`` lets the device pipeline hand over intervals that were
     already extracted on TPU (identical semantics), skipping the host scan.
     """
+    from gci_tpu.parallel.distributed import is_primary_host
+
+    primary = is_primary_host()
     print(f"Getting {log_reads_type} issues bed file detected by GCI ...")
     path = f"{directory}/{prefix}.{threshold}.depth.bed"
-    _require_writable(path, force)
+    if primary:
+        _require_writable(path, force)
     if precomputed is not None:
         merged = precomputed
     else:
-        from gci_tpu.depth.sharded import ShardedDepth
+        from gci_tpu.depth.base import ResidentDepth
 
-        if isinstance(depths, ShardedDepth):
-            # device path: sharded in-range mask + ppermute-stitched edges
+        if isinstance(depths, ResidentDepth):
+            # device path: in-range mask + edge extraction on device
+            # (fused-kernel cache or sharded ppermute-stitched edges)
             merged = depths.collapse_dict(-1, threshold, flank_len, 0)
         else:
             merged = collapse_depth_dict(depths, -1, threshold, flank_len, 0)
-    write_bed_dict(path, merged)
+    if primary:
+        write_bed_dict(path, merged)
     print(f"Getting {log_reads_type} issues bed file done!!!\n\n")
     return merged
 
@@ -65,7 +71,10 @@ def emit_gaps_bed(
     """Write {prefix}.gaps.bed when gaps exist; return path or None (GCI.py:37-44)."""
     if not gaps:
         return None
+    from gci_tpu.parallel.distributed import is_primary_host
+
     path = f"{directory}/{prefix}.gaps.bed"
-    _require_writable(path, force)
-    write_bed_dict(path, gaps)
+    if is_primary_host():
+        _require_writable(path, force)
+        write_bed_dict(path, gaps)
     return path

@@ -50,6 +50,12 @@ def compute_continuity_report(
     Mirrors GCI.py:522-657 observable behavior (file contents, stdout
     narration, stderr warnings, overwrite protection).
     """
+    from gci_tpu.parallel.distributed import is_primary_host
+
+    if not is_primary_host():
+        # multi-host runs: scoring is pure host math over interval lists —
+        # every collective has already run upstream; only process 0 writes
+        return
     regions_bed = regions_bed or {}
     gci_path = f"{directory}/{prefix}.gci"
     _require_writable(gci_path, force)

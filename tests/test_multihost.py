@@ -1,0 +1,111 @@
+"""Multi-process (multi-host) sharded run: N=2 jax.distributed processes.
+
+Spawns two real OS processes, each owning 4 virtual CPU devices, joined via a
+jax.distributed coordinator — the CPU stand-in for a 2-host TPU pod slice
+(SURVEY.md §4: "multi-chip tests via JAX's multi-process simulation").  Both
+processes execute the full ``gci`` CLI with the sharded backend over a (2, 4)
+mesh: each host packs only its dp-chunk of read events
+(gci_tpu.parallel.distributed.owned_dp_rows), the depth-delta psum crosses the
+process boundary, and only process 0 writes output files — which must be
+byte-identical to a single-process events-backend run.
+"""
+import gzip
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+from gci_tpu.pipeline import run_gci
+from tests.fixtures import make_bam, make_fasta, random_reads
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFS = ["chrA", "chrB"]
+LENS = [24000, 16000]
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _diff(d1, d2, names):
+    for name in names:
+        p1, p2 = os.path.join(d1, name), os.path.join(d2, name)
+        if name.endswith(".gz"):
+            with gzip.open(p1, "rb") as a, gzip.open(p2, "rb") as b:
+                assert a.read() == b.read(), name
+        else:
+            with open(p1, "rb") as a, open(p2, "rb") as b:
+                assert a.read() == b.read(), name
+
+
+def test_two_process_sharded_cli_matches_single_process(tmp_path):
+    rng = np.random.default_rng(0xD157)
+    ref = str(tmp_path / "ref.fa")
+    recs = []
+    for r, L in zip(REFS, LENS):
+        seq = "".join(rng.choice(list("ACGT"), size=L))
+        if r == "chrA":
+            seq = seq[:5000] + "N" * 300 + seq[5300:]
+        recs.append((r, seq))
+    make_fasta(ref, recs)
+    bam = str(tmp_path / "hifi.bam")
+    make_bam(bam, REFS, LENS, random_reads(rng, REFS, LENS, 800, name_prefix="h"))
+    regions = str(tmp_path / "regions.bed")
+    with open(regions, "w") as f:
+        f.write("chrA\t1000\t20000\n")
+
+    d_ref = str(tmp_path / "single")
+    run_gci(hifi=[bam], reference=ref, directory=d_ref, prefix="M",
+            regions=regions, depth_backend="events")
+
+    d_mh = str(tmp_path / "multi")
+    port = _free_port()
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+    )
+    # this environment pre-imports jax pinned to the hardware platform, so
+    # the subprocess must re-pin to cpu via jax.config before backend init
+    # (same dance as tests/conftest.py), then enter the real CLI main()
+    boot = str(tmp_path / "boot.py")
+    with open(boot, "w") as f:
+        f.write(
+            "import sys\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "from gci_tpu.cli import main\n"
+            "main(sys.argv[1:])\n"
+        )
+    procs = []
+    for pid in range(2):
+        cmd = [
+            sys.executable, boot,
+            "-r", ref, "--hifi", bam, "-d", d_mh, "-o", "M",
+            "-R", regions,
+            "--device", "sharded", "--mesh", "2,4",
+            "--coordinator", f"127.0.0.1:{port}",
+            "--num-processes", "2", "--process-id", str(pid),
+        ]
+        procs.append(
+            subprocess.Popen(
+                cmd, env=env, cwd=REPO_ROOT,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-4000:]
+
+    _diff(d_ref, d_mh, [
+        "M.depth.gz", "M.0.depth.bed", "M.gci", "M.regions.gci", "M.gaps.bed",
+    ])
