@@ -1,17 +1,26 @@
-"""Benchmark: reads/s through the filtered+depth-binned device pipeline, one chip.
+"""Benchmark: device pipeline throughput, kernel bandwidth, and file-to-file e2e.
 
-Synthetic CHM13-scale workload (the reference ships no speed harness;
-BASELINE.json metric: "CHM13 HiFi+ONT reads/s filtered+depth-binned per
-chip").  The measured step is the device compute path: vectorized filter
-cascade -> read-delta scatter -> genome prefix sum -> gap mask -> issue
-interval edge extraction, jitted as one program on one TPU chip.
+Three measurements (BASELINE.json metric: "CHM13 HiFi+ONT reads/s
+filtered+depth-binned per chip"; the reference ships no speed harness):
 
-The baseline comparator is a faithful reference-style implementation
-(per-read numpy slice increments + per-base Python interval scan,
-GCI.py:302-306/356-390) timed on a subsampled workload and scaled linearly —
-the reference's cost is linear in reads and bases.
+1. device-only — the jitted filter->scatter->fused-scan program on a
+   synthetic 1 Gbp / 4M-read workload, one chip (same program shape as
+   BENCH_r01 for cross-round comparability);
+2. kernel bandwidth — the production fused scan kernel
+   (fused_depth_scan_masked: depth + gap mask + issue edges + RLE
+   boundaries in one pass) timed alone, reported as achieved GB/s vs the
+   v5e HBM speed-of-light (~819 GB/s);
+3. e2e file-to-file — a real `gci -r ref.fa --hifi x.bam` run (synthetic
+   500 Mbp genome / 2M-read BAM, generated once and cached) through
+   run_gci for both the events (host) and device (fused TPU) backends,
+   with the per-stage breakdown (pack / curation / depth / bed / checkpoint
+   write) — the honest wall-clock the 937x-style extrapolations exclude.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The baseline comparator stays the faithful reference-style implementation
+(per-read numpy slice increments + per-base Python scans, GCI.py:302-390)
+timed on a subsample and scaled linearly (its cost is linear in reads/bases).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 from __future__ import annotations
 
@@ -21,11 +30,7 @@ import time
 
 import numpy as np
 
-# persistent compile cache: the remote Mosaic/XLA compile of the fused scan
-# kernel is slow (minutes) and highly variable on this host; cache it on disk
-# so repeated bench runs pay it once (shared dir/implementation with the CLI
-# and graft entry — gci_tpu.utils.jaxcache).
-import jax  # noqa: E402
+import jax  # noqa: E402  (env pre-imports jax; cache hookup below)
 
 from gci_tpu.utils.jaxcache import enable_compile_cache  # noqa: E402
 
@@ -41,6 +46,13 @@ READ_LEN_MEAN = 18_000
 
 BASELINE_SAMPLE_READS = 40_000
 BASELINE_SAMPLE_BP = 40_000_000
+
+# e2e workload (cached on disk; override via env for quick runs)
+E2E_BP = int(os.environ.get("GCI_BENCH_E2E_BP", 500_000_000))
+E2E_READS = int(os.environ.get("GCI_BENCH_E2E_READS", 2_000_000))
+E2E_DIR = os.environ.get("GCI_BENCH_DIR", "/tmp/gci_tpu_bench")
+
+HBM_SOL_GBPS = 819.0  # v5e single-chip HBM bandwidth speed-of-light
 
 
 def synth_columns(rng, n_reads, target_len, n_targets):
@@ -63,6 +75,10 @@ def synth_columns(rng, n_reads, target_len, n_targets):
         nm=nm, mapq=mapq, flag=flag, qlen=qlen,
     )
 
+
+# ---------------------------------------------------------------------------
+# 1. device-only throughput (program shape identical to BENCH_r01)
+# ---------------------------------------------------------------------------
 
 def device_pipeline(total_padded, offsets_dev, lengths_dev):
     import jax
@@ -127,10 +143,136 @@ def run_device(cols, targets_length):
     return float(np.median(times)), res
 
 
+# ---------------------------------------------------------------------------
+# 2. production fused kernel achieved bandwidth
+# ---------------------------------------------------------------------------
+
+def measure_kernel_bandwidth():
+    """Time fused_depth_scan_masked alone: 13 bytes/slot of HBM traffic
+    (delta i32 + gap i8 + valid i8 in; depth i32 + rise/fall/change i8 out).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gci_tpu.depth.pallas_scan import DEF_ROWS, LANES, fused_depth_scan_masked
+
+    if jax.default_backend() != "tpu":
+        return None
+    chunk = DEF_ROWS * LANES
+    total = (512 * 1024 * 1024 // chunk) * chunk  # ~0.5G slots, ~7 GB live
+    rng = np.random.default_rng(7)
+    delta_h = rng.integers(-1, 2, size=total).astype(np.int32)
+
+    @jax.jit
+    def step(delta, gap, valid):
+        depth, rise, fall, change = fused_depth_scan_masked(delta, gap, valid, -1, 0)
+        # last-element taps force execution without re-reading the outputs
+        return depth[-1], rise[-1], fall[-1], change[-1]
+
+    delta = jnp.asarray(delta_h)
+    gap = jnp.zeros(total, jnp.int8)
+    valid = jnp.ones(total, jnp.int8)
+    out = step(delta, gap, valid)  # compile + warmup
+    _ = [int(np.asarray(x)) for x in out]
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = step(delta, gap, valid)
+        _ = [int(np.asarray(x)) for x in out]
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    gbps = 13.0 * total / t / 1e9
+    return {
+        "slots": total,
+        "seconds": round(t, 4),
+        "gbps": round(gbps, 1),
+        "hbm_frac": round(gbps / HBM_SOL_GBPS, 3),
+    }
+
+
+# ---------------------------------------------------------------------------
+# 3. e2e file-to-file (real BAM/FASTA through run_gci)
+# ---------------------------------------------------------------------------
+
+def _write_random_fasta(path, names, length, rng):
+    """Fast random FASTA writer (vectorized 60-col wrapping)."""
+    alphabet = np.frombuffer(b"ACGT", np.uint8)
+    with open(path, "wb") as f:
+        for name in names:
+            f.write(b">" + name.encode() + b"\n")
+            seq = alphabet[rng.integers(0, 4, size=length, dtype=np.uint8)]
+            n_full = length // 60
+            body = np.empty((n_full, 61), np.uint8)
+            body[:, :60] = seq[: n_full * 60].reshape(n_full, 60)
+            body[:, 60] = 10
+            f.write(body.tobytes())
+            tail = seq[n_full * 60 :]
+            if tail.shape[0]:
+                f.write(tail.tobytes() + b"\n")
+
+
+def ensure_e2e_inputs():
+    """Generate (once) and cache the e2e workload: ref.fa + hifi.bam."""
+    os.makedirs(E2E_DIR, exist_ok=True)
+    tag = f"{E2E_BP}_{E2E_READS}"
+    ref = os.path.join(E2E_DIR, f"ref_{tag}.fa")
+    bam = os.path.join(E2E_DIR, f"hifi_{tag}.bam")
+    if os.path.exists(ref) and os.path.exists(bam):
+        return ref, bam
+    rng = np.random.default_rng(0xE2E)
+    target_len = E2E_BP // N_TARGETS
+    names = [f"chr{i}" for i in range(N_TARGETS)]
+    _write_random_fasta(ref, names, target_len, rng)
+
+    cols = synth_columns(rng, E2E_READS, target_len, N_TARGETS)
+    from gci_tpu.io.bam_writer import build_record, write_bam
+
+    order = np.lexsort((cols["start"], cols["tid"]))
+    recs = []
+    for k in order.tolist():
+        m, i, d, s = (int(cols[x][k]) for x in ("m", "i", "d", "s"))
+        cigar = (f"{s}S" if s else "") + f"{m}M" + (f"{i}I" if i else "") + (
+            f"{d}D" if d else ""
+        )
+        recs.append(
+            build_record(
+                f"r{k}", int(cols["tid"][k]), int(cols["start"][k]),
+                int(cols["mapq"][k]), cigar, flag=int(cols["flag"][k]),
+                nm=int(cols["nm"][k]),
+            )
+        )
+    write_bam(bam, names, [target_len] * N_TARGETS, recs, level=1)
+    return ref, bam
+
+
+def run_e2e(backend: str, ref: str, bam: str):
+    from gci_tpu.pipeline import run_gci
+    from gci_tpu.utils.metrics import get_metrics
+
+    outdir = os.path.join(E2E_DIR, f"out_{backend}")
+    get_metrics().reset()
+    t0 = time.perf_counter()
+    run_gci(
+        hifi=[bam], reference=ref, directory=outdir, prefix="B", force=True,
+        threads=os.cpu_count() or 1, depth_backend=backend,
+    )
+    wall = time.perf_counter() - t0
+    stages = {r.name: round(r.seconds, 3) for r in get_metrics().records}
+    checkpoint_s = sum(v for k, v in stages.items() if "write_depth_gz" in k)
+    return {
+        "wall_s": round(wall, 2),
+        "compute_s": round(wall - checkpoint_s, 2),
+        "stages": stages,
+    }
+
+
+# ---------------------------------------------------------------------------
+# baseline: faithful reference-style loops on a subsample, scaled
+# ---------------------------------------------------------------------------
+
 def run_reference_style(cols, targets_length, n_sample, bp_sample):
     """Reference-equivalent host implementation on a subsample, scaled."""
     names = list(targets_length)
-    scale_targets = {t: bp_sample // len(names) for t in names}
     sub = {k: v[:n_sample] for k, v in cols.items()}
     L = bp_sample // len(names)
     depths = {t: np.zeros(L, dtype=np.int64) for t in names}
@@ -184,22 +326,37 @@ def main():
     dev_time, checks = run_device(cols, targets_length)
     reads_per_s = N_READS / dev_time
 
+    kernel = measure_kernel_bandwidth()
+
     per_read, per_base = run_reference_style(
         cols, targets_length, BASELINE_SAMPLE_READS, BASELINE_SAMPLE_BP
     )
     ref_time_full = per_read * N_READS + per_base * GENOME_BP
     ref_reads_per_s = N_READS / ref_time_full
 
-    print(
-        json.dumps(
-            {
-                "metric": "synthetic 1Gbp/4M-read filtered+depth-binned+interval-scanned reads/s per chip",
-                "value": round(reads_per_s, 1),
-                "unit": "reads/s",
-                "vs_baseline": round(reads_per_s / ref_reads_per_s, 2),
-            }
-        )
-    )
+    ref, bam = ensure_e2e_inputs()
+    e2e = {
+        "bp": E2E_BP,
+        "reads": E2E_READS,
+        "events": run_e2e("events", ref, bam),
+        "device": run_e2e("device", ref, bam),
+    }
+    # reference-style wall-clock for THIS workload (scaled), for an e2e ratio
+    ref_e2e_s = per_read * E2E_READS + per_base * E2E_BP
+    e2e["reference_style_s"] = round(ref_e2e_s, 1)
+    e2e["vs_reference_events"] = round(ref_e2e_s / e2e["events"]["wall_s"], 1)
+    e2e["vs_reference_device"] = round(ref_e2e_s / e2e["device"]["wall_s"], 1)
+
+    out = {
+        "metric": "synthetic 1Gbp/4M-read filtered+depth-binned+interval-scanned reads/s per chip",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / ref_reads_per_s, 2),
+        "e2e": e2e,
+    }
+    if kernel is not None:
+        out["fused_kernel"] = kernel
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -80,6 +80,55 @@ def compact_indices(bitmap) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=16)
+def _marks_fn(pad_total: int):
+    """Interval-indicator builder: O(intervals) scatter + one device scan.
+
+    Serves both the N-gap mask and the scan-window validity mask — the host
+    never materializes (or transfers) a per-base indicator array.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gci_tpu.depth.device import _local_prefix_sum
+
+    def f(gs, ge):
+        delta = jnp.zeros(pad_total, jnp.int32)
+        delta = delta.at[gs].add(1, mode="drop")
+        delta = delta.at[ge].add(-1, mode="drop")
+        return (_local_prefix_sum(delta) > 0).astype(jnp.int8)
+
+    return jax.jit(f)
+
+
+def _marks_from_intervals(starts, stops, pad_total: int):
+    import jax.numpy as jnp
+
+    return _marks_fn(pad_total)(
+        jnp.asarray(np.asarray(starts, np.int32)),
+        jnp.asarray(np.asarray(stops, np.int32)),
+    )
+
+
+def valid_marks_for(layout: GenomeLayout, flank_len: int, pad_total: int):
+    """Device int8 mask of positions inside each target's scan window
+    ([flank, L-flank) per target, GCI.py:374 — cf. build_scan_valid)."""
+    starts: list[int] = []
+    stops: list[int] = []
+    for k in range(len(layout.names)):
+        L = int(layout.lengths[k])
+        if L - 2 * flank_len <= 0:
+            continue
+        o = int(layout.offsets[k])
+        starts.append(o + flank_len)
+        stops.append(o + L - flank_len)
+    if not starts:
+        import jax.numpy as jnp
+
+        return jnp.zeros(pad_total, jnp.int8)
+    return _marks_from_intervals(starts, stops, pad_total)
+
+
+@functools.lru_cache(maxsize=16)
 def _fused_fn(pad_total: int):
     """Scatter + fused scan as one compiled program (static genome size)."""
     import jax
@@ -152,9 +201,6 @@ class DeviceDepth(ResidentDepth):
         Built on device from O(gaps) scatter events + one prefix sum — the
         host never materializes a per-base mask.
         """
-        import jax
-        import jax.numpy as jnp
-
         index = {n: k for k, n in enumerate(layout.names)}
         starts: list[int] = []
         stops: list[int] = []
@@ -171,21 +217,7 @@ class DeviceDepth(ResidentDepth):
                     stops.append(o + e)
         if not starts:
             return None
-
-        from gci_tpu.depth.device import _local_prefix_sum
-
-        @functools.partial(jax.jit, static_argnames=("n",))
-        def marks(gs, ge, n):
-            delta = jnp.zeros(n, jnp.int32)
-            delta = delta.at[gs].add(1, mode="drop")
-            delta = delta.at[ge].add(-1, mode="drop")
-            return (_local_prefix_sum(delta) > 0).astype(jnp.int8)
-
-        return marks(
-            jnp.asarray(np.asarray(starts, np.int32)),
-            jnp.asarray(np.asarray(stops, np.int32)),
-            n=pad_total,
-        )
+        return _marks_from_intervals(starts, stops, pad_total)
 
     @classmethod
     def from_reads(
@@ -209,7 +241,6 @@ class DeviceDepth(ResidentDepth):
         import jax.numpy as jnp
 
         from gci_tpu.depth.device import (
-            build_scan_valid,
             edge_indices_to_intervals,
             pack_read_deltas,
         )
@@ -217,7 +248,7 @@ class DeviceDepth(ResidentDepth):
         pad_total = cls.pad_total_for(layout.total_slots)
         gs, ge, live = pack_read_deltas(layout, target_id, start, end, flank_len)
         gap_marks = cls.gap_marks_for(layout, gaps, pad_total)
-        valid = build_scan_valid(layout, flank_len, pad_total)
+        valid = valid_marks_for(layout, flank_len, pad_total)
         lo, hi = issue_range
         gap_in = (
             gap_marks
@@ -226,7 +257,7 @@ class DeviceDepth(ResidentDepth):
         )
         raw, rise, fall, change = _fused_fn(pad_total)(
             jnp.asarray(gs), jnp.asarray(ge), jnp.asarray(live),
-            gap_in, jnp.asarray(valid.astype(np.int8)),
+            gap_in, valid,
             jnp.int32(lo), jnp.int32(hi),
         )
         change_idx = compact_indices(change)
@@ -283,13 +314,13 @@ class DeviceDepth(ResidentDepth):
             return self._edge_cache[key]
         import jax.numpy as jnp
 
-        from gci_tpu.depth.device import build_scan_valid, edge_indices_to_intervals
+        from gci_tpu.depth.device import edge_indices_to_intervals
 
-        valid = build_scan_valid(self.layout, flank_len, self.pad_total)
+        valid = valid_marks_for(self.layout, flank_len, self.pad_total)
         *_, edges_fn = _elementwise_fns()
         rise, fall = edges_fn(
             self.array,
-            jnp.asarray(valid),
+            valid,
             jnp.asarray([leftmost], jnp.int32),
             jnp.asarray([rightmost], jnp.int32),
         )

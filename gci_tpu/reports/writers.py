@@ -45,19 +45,22 @@ def emit_issue_bed(
     path = f"{directory}/{prefix}.{threshold}.depth.bed"
     if primary:
         _require_writable(path, force)
-    if precomputed is not None:
-        merged = precomputed
-    else:
-        from gci_tpu.depth.base import ResidentDepth
+    from gci_tpu.utils import stage
 
-        if isinstance(depths, ResidentDepth):
-            # device path: in-range mask + edge extraction on device
-            # (fused-kernel cache or sharded ppermute-stitched edges)
-            merged = depths.collapse_dict(-1, threshold, flank_len, 0)
+    with stage(f"issue_bed:{prefix}"):
+        if precomputed is not None:
+            merged = precomputed
         else:
-            merged = collapse_depth_dict(depths, -1, threshold, flank_len, 0)
-    if primary:
-        write_bed_dict(path, merged)
+            from gci_tpu.depth.base import ResidentDepth
+
+            if isinstance(depths, ResidentDepth):
+                # device path: in-range mask + edge extraction on device
+                # (fused-kernel cache or sharded ppermute-stitched edges)
+                merged = depths.collapse_dict(-1, threshold, flank_len, 0)
+            else:
+                merged = collapse_depth_dict(depths, -1, threshold, flank_len, 0)
+        if primary:
+            write_bed_dict(path, merged)
     print(f"Getting {log_reads_type} issues bed file done!!!\n\n")
     return merged
 
