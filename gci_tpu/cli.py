@@ -116,11 +116,14 @@ def build_parser() -> argparse.ArgumentParser:
     group_tpu = parser.add_argument_group("TPU/Runtime Options")
     group_tpu.add_argument(
         "--device", dest="depth_backend", metavar="STR",
-        choices=["auto", "device", "numpy", "events", "sharded"], default="auto",
-        help="Per-base depth backend: auto (TPU when available), device, "
-        "numpy, events (O(reads) event-space — no per-base arrays; "
-        "fastest on host, identical outputs), or sharded (multi-chip: genome "
-        "axis sharded over a device mesh) [auto]",
+        choices=["auto", "device", "numpy", "events", "sharded", "streamed"],
+        default="auto",
+        help="Per-base depth backend: auto (TPU when available), device "
+        "(single chip, fused kernel; auto-streams past HBM), numpy, events "
+        "(O(reads) event-space — no per-base arrays; fastest on host, "
+        "identical outputs), sharded (multi-chip: genome axis sharded over "
+        "a device mesh), or streamed (chunked device scan for >HBM "
+        "genomes) [auto]",
     )
     group_tpu.add_argument(
         "--mesh", metavar="DPxGP", default=None,

@@ -22,6 +22,12 @@ from dataclasses import dataclass
 import numpy as np
 
 
+# above this many slots the resident single-chip layouts (delta + depth +
+# edge buffers) would crowd a v5e's HBM — auto paths switch to the streamed
+# chunked form (gci_tpu.depth.streamed)
+STREAM_SLOT_LIMIT = 1_200_000_000
+
+
 @dataclass(frozen=True)
 class GenomeLayout:
     """Concatenated coordinate axis: one slot span of L_t + 1 per target."""
@@ -112,7 +118,7 @@ def accumulate_depth(
         return accumulate_depth_numpy(layout, target_id, start, end, flank_len)
 
     # genomes whose delta+depth buffers would crowd HBM stream in chunks
-    if layout.total_slots > 1_200_000_000:
+    if layout.total_slots > STREAM_SLOT_LIMIT:
         from gci_tpu.depth.streamed import accumulate_depth_streamed
 
         return accumulate_depth_streamed(

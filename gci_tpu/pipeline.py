@@ -182,16 +182,28 @@ def run_filter(
             depths = events_dict_from_reads(
                 layout, curated.target_id, curated.start, curated.end, flank_len
             )
-        elif depth_backend == "device":
-            # single-chip production path: scatter + ONE fused Pallas pass
-            # (depth, gap-masked issue edges, checkpoint run boundaries);
-            # depth stays device-resident through the rest of the run
-            from gci_tpu.depth.fused import DeviceDepth
+        elif depth_backend in ("device", "streamed"):
+            from gci_tpu.depth.accum import STREAM_SLOT_LIMIT
 
-            depths = DeviceDepth.from_reads(
-                layout, curated.target_id, curated.start, curated.end,
-                flank_len, gaps=gaps, issue_range=(-1, threshold),
-            )
+            if depth_backend == "streamed" or layout.total_slots > STREAM_SLOT_LIMIT:
+                # >HBM genomes: chunked device scan -> run-length events;
+                # O(runs) host memory, never a per-base array
+                from gci_tpu.depth.streamed import events_from_reads_streamed
+
+                depths = events_from_reads_streamed(
+                    layout, curated.target_id, curated.start, curated.end,
+                    flank_len,
+                )
+            else:
+                # single-chip production path: scatter + ONE fused Pallas
+                # pass (depth, gap-masked issue edges, checkpoint run
+                # boundaries); depth stays device-resident for the run
+                from gci_tpu.depth.fused import DeviceDepth
+
+                depths = DeviceDepth.from_reads(
+                    layout, curated.target_id, curated.start, curated.end,
+                    flank_len, gaps=gaps, issue_range=(-1, threshold),
+                )
         elif depth_backend == "sharded":
             # multi-chip path: genome axis gp-sharded on the mesh, reads
             # scattered dp-parallel; depth stays device-resident through

@@ -1,0 +1,176 @@
+"""Streamed (>HBM) depth: chunked scan, event extraction, big-genome layout.
+
+Covers VERDICT r01 items: the streamed Pallas-tile chunk path, the
+STREAM_SLOT_LIMIT auto-switch, run-length event extraction with cross-chunk
+carries (so a >HBM genome yields BEDs without per-base arrays), and the
+int64-safe sharded packing of a simulated 3.1 Gbp x 2-type layout.
+"""
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from gci_tpu.depth.accum import (
+    GenomeLayout,
+    accumulate_depth_numpy,
+    depth_dict_from_flat,
+)
+from gci_tpu.depth.eventspace import events_dict_from_reads
+from gci_tpu.depth.streamed import (
+    accumulate_depth_streamed,
+    events_from_reads_streamed,
+)
+
+TARGETS = {"a": 9000, "b": 7000, "c": 150}
+
+
+def _random_reads(rng, n):
+    names = list(TARGETS)
+    lens = np.array([TARGETS[t] for t in names])
+    tid = rng.integers(0, len(names), n)
+    start = (rng.random(n) * np.maximum(lens[tid] - 30, 1)).astype(np.int64)
+    end = start + (rng.random(n) * 4000).astype(np.int64) + 5
+    return tid.astype(np.int64), start, end
+
+
+def test_streamed_pallas_tile_path(rng):
+    # pallas kernel in interpret mode, small rows: chunk = 8*128 = 1024 slots
+    # -> many chunks, runs straddling chunk borders
+    layout = GenomeLayout.from_targets(TARGETS)
+    tid, start, end = _random_reads(rng, 300)
+    want = accumulate_depth_numpy(layout, tid, start, end, 15)
+    got = accumulate_depth_streamed(
+        layout, tid, start, end, 15, chunk_slots=1024, kernel="pallas",
+        pallas_rows=8,
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("kernel", ["jnp", "pallas"])
+def test_streamed_events_match_oracle(rng, kernel):
+    layout = GenomeLayout.from_targets(TARGETS)
+    tid, start, end = _random_reads(rng, 500)
+    got = events_from_reads_streamed(
+        layout, tid, start, end, 15, chunk_slots=1024, kernel=kernel,
+        pallas_rows=8 if kernel == "pallas" else None,
+    )
+    want = events_dict_from_reads(layout, tid, start, end, 15)
+    for t in TARGETS:
+        np.testing.assert_array_equal(got[t].materialize(), want[t].materialize())
+
+
+def test_streamed_events_bed_parity(rng):
+    # full event-space flow from streamed chunks: mask -> collapse == oracle
+    from gci_tpu.intervals.collapse import collapse_depth_runs
+
+    layout = GenomeLayout.from_targets(TARGETS)
+    tid, start, end = _random_reads(rng, 120)  # sparse -> zero-depth issues
+    ev = events_from_reads_streamed(
+        layout, tid, start, end, 15, chunk_slots=2000, kernel="jnp"
+    )
+    gaps = {"a": [(100, 300)], "b": [(6900, 7000)]}
+    flat = accumulate_depth_numpy(layout, tid, start, end, 15)
+    want_arrays = depth_dict_from_flat(layout, flat)
+    for t, segs in gaps.items():
+        arr = want_arrays[t].copy()
+        for s, e in segs:
+            arr[s:e] = 0
+        want_arrays[t] = arr
+    for t in TARGETS:
+        masked = ev[t].mask_intervals(gaps.get(t, []))
+        assert masked.collapse(-1, 0, 15) == collapse_depth_runs(
+            want_arrays[t], -1, 0, 15
+        ), t
+
+
+def test_auto_switch_to_streamed(rng, monkeypatch):
+    # force the auto limit low and verify accumulate_depth(auto/device on a
+    # non-cpu-looking config) routes through the streamed path
+    import gci_tpu.depth.accum as accum
+    import gci_tpu.depth.streamed as streamed
+
+    called = {}
+    real = streamed.accumulate_depth_streamed
+
+    def spy(*args, **kwargs):
+        called["yes"] = True
+        return real(*args, **kwargs, chunk_slots=4000, kernel="jnp")
+
+    monkeypatch.setattr(accum, "STREAM_SLOT_LIMIT", 10_000)
+    monkeypatch.setattr(streamed, "accumulate_depth_streamed", spy)
+    layout = GenomeLayout.from_targets(TARGETS)  # 16,153 slots > 10,000
+    tid, start, end = _random_reads(rng, 200)
+    got = accum.accumulate_depth(layout, tid, start, end, 15, backend="device")
+    assert called.get("yes")
+    np.testing.assert_array_equal(
+        got, accumulate_depth_numpy(layout, tid, start, end, 15)
+    )
+
+
+def test_pack_sharded_past_int32(rng):
+    # simulated 3.1 Gbp x 2 haplotypes: 6.2G slots (> 2^31); the sharded
+    # packer must produce exact (shard, offset) int32 pairs from int64 bases
+    from gci_tpu.depth.device import pack_read_deltas, pack_read_deltas_sharded
+
+    big = {f"chr{i}": 310_000_000 for i in range(20)}  # 6.2G slots
+    layout = GenomeLayout.from_targets(big)
+    assert layout.total_slots > 2**31
+    n = 5000
+    tid = rng.integers(0, 20, n).astype(np.int64)
+    start = (rng.random(n) * 309_000_000).astype(np.int64)
+    end = start + (rng.random(n) * 30_000).astype(np.int64) + 40
+    shard_slots = 97_000_000  # uneven shard size: offsets exercise modulo
+    gs_sh, gs_off, ge_sh, ge_off, live = pack_read_deltas_sharded(
+        layout, tid, start, end, 15, shard_slots
+    )
+    from gci_tpu.depth.accum import clamp_read_intervals
+
+    s, e = clamp_read_intervals(layout, tid, start, end, 15)
+    base = layout.offsets[tid]
+    want_gs = base + s
+    want_ge = base + e
+    np.testing.assert_array_equal(
+        gs_sh.astype(np.int64) * shard_slots + gs_off, want_gs
+    )
+    np.testing.assert_array_equal(
+        ge_sh.astype(np.int64) * shard_slots + ge_off, want_ge
+    )
+    assert gs_off.dtype == np.int32 and (gs_off >= 0).all()
+    np.testing.assert_array_equal(live, (e > s).astype(np.int32))
+
+    # the global-int32 single-chip packer must refuse this layout
+    with pytest.raises(OverflowError):
+        pack_read_deltas(layout, tid, start, end, 15)
+
+
+def test_run_gci_streamed_backend_matches_events(tmp_path):
+    # user-reachable: depth_backend="streamed" through the whole pipeline
+    from gci_tpu.pipeline import run_gci
+    from tests.fixtures import make_bam, make_fasta, random_reads
+
+    rng = np.random.default_rng(0x57E)
+    refs, lens = ["chrA", "chrB"], [20000, 12000]
+    recs = []
+    for r, L in zip(refs, lens):
+        seq = "".join(rng.choice(list("ACGT"), size=L))
+        if r == "chrA":
+            seq = seq[:4000] + "N" * 200 + seq[4200:]
+        recs.append((r, seq))
+    ref = str(tmp_path / "ref.fa")
+    make_fasta(ref, recs)
+    bam = str(tmp_path / "hifi.bam")
+    make_bam(bam, refs, lens, random_reads(rng, refs, lens, 500, name_prefix="h"))
+    d_ev, d_st = str(tmp_path / "ev"), str(tmp_path / "st")
+    run_gci(hifi=[bam], reference=ref, directory=d_ev, prefix="S",
+            depth_backend="events")
+    run_gci(hifi=[bam], reference=ref, directory=d_st, prefix="S",
+            depth_backend="streamed")
+    for name in ["S.depth.gz", "S.0.depth.bed", "S.gci", "S.gaps.bed"]:
+        p1, p2 = os.path.join(d_ev, name), os.path.join(d_st, name)
+        if name.endswith(".gz"):
+            with gzip.open(p1, "rb") as a, gzip.open(p2, "rb") as b:
+                assert a.read() == b.read(), name
+        else:
+            with open(p1, "rb") as a, open(p2, "rb") as b:
+                assert a.read() == b.read(), name
