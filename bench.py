@@ -47,9 +47,11 @@ READ_LEN_MEAN = 18_000
 BASELINE_SAMPLE_READS = 40_000
 BASELINE_SAMPLE_BP = 40_000_000
 
-# e2e workload (cached on disk; override via env for quick runs)
+# e2e workload (cached on disk; override via env for quick runs).  Records
+# carry real seq/qual bytes (~9x coverage of 18 kb reads), so the pack stage
+# pays the genuine BGZF-inflate cost a real HiFi BAM has.
 E2E_BP = int(os.environ.get("GCI_BENCH_E2E_BP", 500_000_000))
-E2E_READS = int(os.environ.get("GCI_BENCH_E2E_READS", 2_000_000))
+E2E_READS = int(os.environ.get("GCI_BENCH_E2E_READS", 250_000))
 E2E_DIR = os.environ.get("GCI_BENCH_DIR", "/tmp/gci_tpu_bench")
 
 HBM_SOL_GBPS = 819.0  # v5e single-chip HBM bandwidth speed-of-light
@@ -225,23 +227,25 @@ def ensure_e2e_inputs():
     _write_random_fasta(ref, names, target_len, rng)
 
     cols = synth_columns(rng, E2E_READS, target_len, N_TARGETS)
-    from gci_tpu.io.bam_writer import build_record, write_bam
+    from gci_tpu.io.bam_writer import build_record, write_bam_stream
 
     order = np.lexsort((cols["start"], cols["tid"]))
-    recs = []
-    for k in order.tolist():
-        m, i, d, s = (int(cols[x][k]) for x in ("m", "i", "d", "s"))
-        cigar = (f"{s}S" if s else "") + f"{m}M" + (f"{i}I" if i else "") + (
-            f"{d}D" if d else ""
-        )
-        recs.append(
-            build_record(
+
+    def records():
+        # lazy: each record carries ~2.5x its read length in seq/qual bytes,
+        # so a list of them would be tens of GB — stream straight into
+        # batched BGZF members instead
+        for k in order.tolist():
+            m, i, d, s = (int(cols[x][k]) for x in ("m", "i", "d", "s"))
+            cigar = (f"{s}S" if s else "") + f"{m}M" + (
+                f"{i}I" if i else "") + (f"{d}D" if d else "")
+            yield build_record(
                 f"r{k}", int(cols["tid"][k]), int(cols["start"][k]),
                 int(cols["mapq"][k]), cigar, flag=int(cols["flag"][k]),
                 nm=int(cols["nm"][k]),
             )
-        )
-    write_bam(bam, names, [target_len] * N_TARGETS, recs, level=1)
+
+    write_bam_stream(bam, names, [target_len] * N_TARGETS, records(), level=1)
     return ref, bam
 
 

@@ -167,6 +167,44 @@ def write_bam(
         f.write(bgzf_compress(payload, level, threads))
 
 
+def write_bam_stream(
+    path: str,
+    references: list[str],
+    lengths: list[int],
+    record_iter,
+    header_text: str | None = None,
+    level: int = 6,
+    threads: int = 4,
+    batch_bytes: int = 1 << 28,
+) -> None:
+    """Write a BAM from a record *iterator* with bounded memory.
+
+    Records are compressed in ~``batch_bytes`` BGZF member groups as they
+    arrive (BGZF blocks are independent; readers see one stream), so a
+    multi-GB BAM never materializes uncompressed in RAM.  One EOF block
+    terminates the file.
+    """
+    with open(path, "wb") as f:
+        buf: list[bytes] = [build_header(references, lengths, header_text)]
+        size = len(buf[0])
+
+        def flush():
+            nonlocal buf, size
+            if not buf:
+                return
+            blob = bgzf_compress(b"".join(buf), level, threads)
+            f.write(blob[:-28])  # strip the per-call EOF block
+            buf, size = [], 0
+
+        for rec in record_iter:
+            buf.append(rec)
+            size += len(rec)
+            if size >= batch_bytes:
+                flush()
+        flush()
+        f.write(_BGZF_EOF)
+
+
 def sort_record_blobs(records: list[bytes]) -> list[bytes]:
     """Coordinate-sort encoded records (replacement for `samtools sort`)."""
     def sort_key(rec: bytes):

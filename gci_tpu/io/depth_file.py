@@ -125,6 +125,75 @@ def read_depth_gz_events(path: str):
     return depths, targets_length
 
 
+def iter_depth_targets(path: str, chunk_bytes: int = 1 << 25):
+    """Stream a .depth.gz checkpoint target-by-target: yields (name, int64).
+
+    O(one target + one inflate chunk) memory instead of O(genome) — the
+    streaming analogue of ``read_depth_gz`` (format: GCI.py:113-117).  An
+    early-`break` by the consumer closes the file without inflating the
+    rest (the reference's SynchronizedDepthReader early-exit,
+    depth_plotter_v2.py:690-799).  Values are parsed with the same
+    vectorized decimal decoder as the batch reader.
+    """
+
+    def parse_block(block: bytes) -> np.ndarray:
+        arr = np.frombuffer(block, dtype=np.uint8)
+        if arr.shape[0] == 0:
+            return np.empty(0, np.int64)
+        nl = np.flatnonzero(arr == _NL)
+        starts = np.concatenate(([0], nl[:-1] + 1)).astype(np.int64)
+        lens = nl - starts
+        keep = lens > 0
+        return _parse_uint_lines(arr, starts[keep], lens[keep])
+
+    name: str | None = None
+    parts: list[np.ndarray] = []
+    pending = b""
+    with gzip.open(path, "rb") as f:
+        while True:
+            data = f.read(chunk_bytes)
+            if not data:
+                break
+            data = pending + data
+            cut = data.rfind(b"\n")
+            if cut < 0:
+                pending = data
+                continue
+            pending = data[cut + 1 :]
+            block = data[: cut + 1]
+            pos = 0
+            n = len(block)
+            while pos < n:
+                if block[pos : pos + 1] == b">":
+                    nl_pos = block.find(b"\n", pos)
+                    if name is not None:
+                        yield name, (
+                            np.concatenate(parts) if parts else np.empty(0, np.int64)
+                        )
+                    # reference header parse: last '>'-field (GCI_score.py:32)
+                    name = block[pos:nl_pos].decode().strip().split(">")[-1]
+                    parts = []
+                    pos = nl_pos + 1
+                else:
+                    # '>' only occurs at line starts (value lines are digits)
+                    nxt = block.find(b">", pos)
+                    end = nxt if nxt >= 0 else n
+                    parts.append(parse_block(block[pos:end]))
+                    pos = end
+    if pending:  # final line without trailing newline
+        if pending.startswith(b">"):
+            if name is not None:
+                yield name, (
+                    np.concatenate(parts) if parts else np.empty(0, np.int64)
+                )
+            name = pending.decode().strip().split(">")[-1]
+            parts = []
+        else:
+            parts.append(parse_block(pending + b"\n"))
+    if name is not None:
+        yield name, (np.concatenate(parts) if parts else np.empty(0, np.int64))
+
+
 def encode_depth_text(depths: dict[str, np.ndarray]) -> bytes:
     """Encode {target: int array} into the reference text format."""
     chunks: list[bytes] = []

@@ -12,8 +12,11 @@ import sys
 import numpy as np
 
 from gci_tpu.io.bed import read_bed_dict
-from gci_tpu.io.depth_file import read_depth_gz
-from gci_tpu.viz.plotter_v2 import parse_fai, plot_sequence_v2
+from gci_tpu.viz.plotter_v2 import (
+    SynchronizedDepthReader,
+    parse_fai,
+    plot_sequence_v2,
+)
 
 
 def main(argv=None):
@@ -73,16 +76,17 @@ def main(argv=None):
         target_sequences = set(fai_lengths)
         print(f"Will process all {len(target_sequences)} reference sequences")
 
-    hifi_all = read_depth_gz(args.hifi)[0] if args.hifi else {}
-    ont_all = read_depth_gz(args.nano)[0] if args.nano else {}
-
+    # streaming co-read: one sequence resident at a time, early exit once all
+    # target sequences are plotted (depth_plotter_v2.py:690-799 semantics;
+    # region plots on huge checkpoints peak at O(one sequence) memory)
+    reader = SynchronizedDepthReader(
+        hifi_file=args.hifi, ont_file=args.nano,
+        target_sequences=target_sequences, regions=regions_to_use,
+    )
     print("Starting sequential processing...")
     successful = failed = 0
-    seq_ids = [s for s in (hifi_all or ont_all) if s in target_sequences]
-    for seq_id in seq_ids:
+    for seq_id, hifi, ont in reader.read_sequences():
         print(f"Processing sequence: {seq_id}")
-        hifi = hifi_all.get(seq_id, np.array([]))
-        ont = ont_all.get(seq_id, np.array([]))
         seq_length = max(len(hifi), len(ont))
         if seq_length == 0:
             print(f"Warning: No depth data for sequence {seq_id}")

@@ -22,6 +22,82 @@ import os
 import numpy as np
 
 
+def cap_depth_u16(depths: np.ndarray) -> np.ndarray:
+    """Reference DepthParser ``array('H')`` semantics (depth_plotter_v2.py:43-140).
+
+    Values above 65535 cap at 65535; negative values are dropped (the
+    reference silently skips them); storage is uint16 — 2 bytes/base, the
+    same memory footprint as the reference's typed array.
+    """
+    depths = np.asarray(depths)
+    if depths.size and depths.min() < 0:
+        depths = depths[depths >= 0]
+    return np.minimum(depths, 65535).astype(np.uint16)
+
+
+class SynchronizedDepthReader:
+    """Streaming co-iterator over two depth checkpoints
+    (depth_plotter_v2.py:690-799).
+
+    Yields ``(seq_id, hifi_depths, ont_depths)`` one sequence at a time with
+    O(one sequence) memory, stopping (and closing both files) as soon as
+    every requested target has been produced — region plots on huge
+    checkpoints never load whole genomes.
+    """
+
+    def __init__(self, hifi_file: str | None = None, ont_file: str | None = None,
+                 target_sequences: set | None = None, regions: dict | None = None):
+        self.hifi_file = hifi_file
+        self.ont_file = ont_file
+        self.target_sequences = set(target_sequences or ())
+        self.regions = regions
+        self.processed_sequences: set[str] = set()
+
+    def _should_process_sequence(self, seq_id: str) -> bool:
+        if self.target_sequences and seq_id not in self.target_sequences:
+            return False
+        if self.regions and seq_id not in self.regions:
+            return False
+        return True
+
+    def read_sequences(self):
+        from gci_tpu.io.depth_file import iter_depth_targets
+
+        it_h = iter_depth_targets(self.hifi_file) if self.hifi_file else None
+        it_o = iter_depth_targets(self.ont_file) if self.ont_file else None
+        empty = np.empty(0, np.int64)
+        try:
+            while True:
+                if self.target_sequences and len(self.processed_sequences) >= len(
+                    self.target_sequences
+                ):
+                    break
+                rec_h = next(it_h, None) if it_h is not None else None
+                rec_o = next(it_o, None) if it_o is not None else None
+                if rec_h is None and rec_o is None:
+                    break
+                if rec_h is not None and rec_o is not None and rec_h[0] != rec_o[0]:
+                    raise ValueError(
+                        f"depth files are not sequence-synchronized: "
+                        f"{rec_h[0]!r} vs {rec_o[0]!r}"
+                    )
+                seq_id = rec_h[0] if rec_h is not None else rec_o[0]
+                if not self._should_process_sequence(seq_id):
+                    continue
+                self.processed_sequences.add(seq_id)
+                yield (
+                    seq_id,
+                    cap_depth_u16(rec_h[1]) if rec_h is not None else empty,
+                    cap_depth_u16(rec_o[1]) if rec_o is not None else empty,
+                )
+        finally:
+            # dropping the generators closes the underlying files (early exit)
+            if it_h is not None:
+                it_h.close()
+            if it_o is not None:
+                it_o.close()
+
+
 def parse_fai(path: str) -> dict[str, int]:
     """Sequence id -> length from a .fai index (depth_plotter_v2.py:142-160)."""
     out: dict[str, int] = {}

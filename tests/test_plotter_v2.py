@@ -65,3 +65,63 @@ def test_plotter_v2_cli(tmp_path, rng):
         "--region", "c1:500-1500",
     ])
     assert os.path.exists(f"{outdir}/c1_500-1500.png")
+
+
+def test_cap_depth_u16():
+    from gci_tpu.viz.plotter_v2 import cap_depth_u16
+
+    d = np.array([0, 5, 65535, 70000, 123456], dtype=np.int64)
+    got = cap_depth_u16(d)
+    assert got.dtype == np.uint16
+    np.testing.assert_array_equal(got, [0, 5, 65535, 65535, 65535])
+    # reference DepthParser drops negatives (depth_plotter_v2.py:99-101)
+    np.testing.assert_array_equal(
+        cap_depth_u16(np.array([3, -1, 7], np.int64)), [3, 7]
+    )
+
+
+def test_iter_depth_targets_streaming(tmp_path, rng):
+    from gci_tpu.io.depth_file import (
+        iter_depth_targets,
+        read_depth_gz,
+        write_depth_gz,
+    )
+
+    depths = {
+        "a": rng.integers(0, 80000, size=5000).astype(np.int64),
+        "b": np.zeros(0, np.int64),
+        "c": rng.integers(0, 9, size=3001).astype(np.int64),
+    }
+    p = str(tmp_path / "d.depth.gz")
+    write_depth_gz(p, depths)
+    want, _ = read_depth_gz(p)
+    # tiny chunks force header/value splits across chunk boundaries
+    got = dict(iter_depth_targets(p, chunk_bytes=777))
+    assert list(got) == list(want)
+    for t in want:
+        np.testing.assert_array_equal(got[t], want[t])
+
+
+def test_synchronized_reader_early_exit(tmp_path, rng):
+    from gci_tpu.io.depth_file import write_depth_gz
+    from gci_tpu.viz.plotter_v2 import SynchronizedDepthReader
+
+    h = {t: rng.integers(0, 70000, size=2000).astype(np.int64) for t in "abcd"}
+    o = {t: rng.integers(0, 50, size=2000).astype(np.int64) for t in "abcd"}
+    ph, po = str(tmp_path / "h.depth.gz"), str(tmp_path / "o.depth.gz")
+    write_depth_gz(ph, h)
+    write_depth_gz(po, o)
+
+    reader = SynchronizedDepthReader(ph, po, target_sequences={"a", "b"})
+    seen = []
+    for seq_id, hd, od in reader.read_sequences():
+        seen.append(seq_id)
+        assert hd.dtype == np.uint16 and od.dtype == np.uint16
+        np.testing.assert_array_equal(hd, np.minimum(h[seq_id], 65535))
+        np.testing.assert_array_equal(od, o[seq_id])
+    # early exit: c and d were never produced (nor inflated)
+    assert seen == ["a", "b"]
+
+    # single-file mode
+    reader = SynchronizedDepthReader(hifi_file=ph)
+    assert [s for s, _, _ in reader.read_sequences()] == list("abcd")
