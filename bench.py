@@ -24,6 +24,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -149,9 +150,15 @@ def run_device(cols, targets_length):
 # 2. production fused kernel achieved bandwidth
 # ---------------------------------------------------------------------------
 
-def measure_kernel_bandwidth():
-    """Time fused_depth_scan_masked alone: 13 bytes/slot of HBM traffic
+def measure_kernel_bandwidth(iters: int = 16):
+    """Achieved HBM GB/s of fused_depth_scan_masked: 13 bytes/slot per pass
     (delta i32 + gap i8 + valid i8 in; depth i32 + rise/fall/change i8 out).
+
+    ``iters`` kernels are CHAINED inside one jit (each consumes the previous
+    depth as its delta — a true serial dependency XLA cannot CSE), so the
+    per-call host<->device round-trip latency (tens of ms through the axon
+    tunnel — larger than the kernel itself) amortizes away; a 1-iteration
+    call is also timed to report that dispatch overhead separately.
     """
     import jax
     import jax.numpy as jnp
@@ -165,28 +172,35 @@ def measure_kernel_bandwidth():
     rng = np.random.default_rng(7)
     delta_h = rng.integers(-1, 2, size=total).astype(np.int32)
 
-    @jax.jit
-    def step(delta, gap, valid):
-        depth, rise, fall, change = fused_depth_scan_masked(delta, gap, valid, -1, 0)
-        # last-element taps force execution without re-reading the outputs
-        return depth[-1], rise[-1], fall[-1], change[-1]
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def step(delta, gap, valid, n):
+        def body(_, d):
+            depth, rise, fall, change = fused_depth_scan_masked(d, gap, valid, -1, 0)
+            return depth  # int32, same shape: feeds the next pass
+        out = jax.lax.fori_loop(0, n, body, delta)
+        return out[-1]
 
     delta = jnp.asarray(delta_h)
     gap = jnp.zeros(total, jnp.int8)
     valid = jnp.ones(total, jnp.int8)
-    out = step(delta, gap, valid)  # compile + warmup
-    _ = [int(np.asarray(x)) for x in out]
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = step(delta, gap, valid)
-        _ = [int(np.asarray(x)) for x in out]
-        times.append(time.perf_counter() - t0)
-    t = float(np.median(times))
-    gbps = 13.0 * total / t / 1e9
+
+    def timed(n):
+        _ = int(np.asarray(step(delta, gap, valid, n)))  # compile + warmup
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = int(np.asarray(step(delta, gap, valid, n)))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    t1 = timed(1)
+    tn = timed(iters)
+    per_pass = (tn - t1) / (iters - 1)
+    gbps = 13.0 * total / per_pass / 1e9
     return {
         "slots": total,
-        "seconds": round(t, 4),
+        "per_pass_s": round(per_pass, 5),
+        "dispatch_overhead_s": round(max(t1 - per_pass, 0.0), 4),
         "gbps": round(gbps, 1),
         "hbm_frac": round(gbps / HBM_SOL_GBPS, 3),
     }
@@ -343,13 +357,25 @@ def main():
         "bp": E2E_BP,
         "reads": E2E_READS,
         "events": run_e2e("events", ref, bam),
+        "device_cold": run_e2e("device", ref, bam),
+        # steady-state: compiles cached, kernels warm
         "device": run_e2e("device", ref, bam),
     }
-    # reference-style wall-clock for THIS workload (scaled), for an e2e ratio
+    # reference-style wall-clock for THIS workload (scaled), for an e2e ratio.
+    # NOTE: this EXCLUDES the reference's pysam BGZF-inflate cost (our
+    # bam_pack stage pays the real one), so the ratio is a lower bound.
     ref_e2e_s = per_read * E2E_READS + per_base * E2E_BP
     e2e["reference_style_s"] = round(ref_e2e_s, 1)
     e2e["vs_reference_events"] = round(ref_e2e_s / e2e["events"]["wall_s"], 1)
     e2e["vs_reference_device"] = round(ref_e2e_s / e2e["device"]["wall_s"], 1)
+    ev_c, dv_c = e2e["events"]["compute_s"], e2e["device"]["compute_s"]
+    e2e["auto_default"] = (
+        f"events: e2e is host-pack-bound on this {os.cpu_count()}-vCPU host "
+        f"(events compute {ev_c}s vs device {dv_c}s incl. tunnel dispatch); "
+        "crossover needs a wider host or multi-chip sharding"
+        if ev_c <= dv_c
+        else "device wins e2e: flip auto to the fused device backend"
+    )
 
     out = {
         "metric": "synthetic 1Gbp/4M-read filtered+depth-binned+interval-scanned reads/s per chip",

@@ -70,13 +70,16 @@ def compact_indices(bitmap) -> np.ndarray:
     """
     import jax.numpy as jnp
 
-    # int32 count is safe: DeviceDepth axes are int32-indexed (< 2^31 slots)
+    # int32 count is safe: resident axes are int32-indexed (< 2^31 slots)
     n = int(jnp.sum(bitmap != 0))
     if n == 0:
         return np.empty(0, np.int64)
     size = 1 << (n - 1).bit_length()
     idx = _flatnonzero_fn(size)(bitmap)
-    return np.asarray(idx[:n]).astype(np.int64)
+    # transfer the padded O(k) result and slice on host: a device-side
+    # `idx[:n]` would dispatch an eager gather, which on a mesh-sharded
+    # bitmap is pathologically slow
+    return np.asarray(idx)[:n].astype(np.int64)
 
 
 @functools.lru_cache(maxsize=16)

@@ -308,6 +308,11 @@ class ShardedDepth(ResidentDepth):
                 _replicated_global(self.mesh, np.asarray([leftmost], np.int32)),
                 _replicated_global(self.mesh, np.asarray([rightmost], np.int32)),
             )
+        # NOTE: device-side index compaction (gci_tpu.depth.fused.
+        # compact_indices) is deliberately NOT used here — XLA's SPMD
+        # partitioner handles flatnonzero on mesh-sharded inputs
+        # pathologically (minutes for ~10M slots); the int8 bitmap pull is
+        # the fast path for sharded arrays
         return edges_to_intervals(
             self.layout, _host_all(rise), _host_all(fall), _host_all(m),
             flank_len, start_pos,
@@ -331,6 +336,7 @@ class ShardedDepth(ResidentDepth):
         fn = _change_fn(self.mesh, self.pad_total)
         with self.mesh:
             change = fn(self.array)
+        # host flatnonzero of the int8 bitmap (see collapse_dict NOTE)
         idx = np.flatnonzero(_host_all(change)).astype(np.int64)
 
         def gather(all_idx: np.ndarray) -> np.ndarray:
