@@ -171,11 +171,14 @@ def run_filter(
         f"{log_reads_type}:depth_accumulate", items=int(curated.start.shape[0]), unit="reads"
     ):
         # "auto" = event-space: the per-read piecewise-constant form is the
-        # O(reads) algorithm for this flow (reads ≪ bases, and the .depth.gz
-        # checkpoint is host-bound regardless), 8x faster end-to-end than
-        # materializing the per-base axis.  "device"/"numpy" force the
-        # per-base genome-axis backends (the device one is what the sharded
-        # multi-chip scale-out and bench.py exercise).
+        # O(reads) algorithm for this flow (reads ≪ bases, and e2e is
+        # bam_pack-bound regardless).  Recorded crossover (BENCH_r02,
+        # 500Mbp/250k reads): backend-dependent stages ~4.5s events vs ~16s
+        # device, where the device cost is per-call dispatch through the
+        # remote-TPU tunnel, not kernel time (fused pass = 42ms/0.5G slots);
+        # on a colocated TPU host "device" is the right default and "auto"
+        # should be revisited.  "device"/"sharded"/"streamed" force the
+        # accelerator paths; "numpy" is the host oracle.
         if depth_backend in ("events", "auto"):
             from gci_tpu.depth.eventspace import events_dict_from_reads
 

@@ -199,3 +199,34 @@ def test_device_dual_type_regions_matches_events(inputs, tmp_path):
          "F_hifi.1.depth.bed", "F_nano.1.depth.bed", "F_two_type.1.depth.bed",
          "F.gci", "F.regions.gci", "F.gaps.bed"],
     )
+
+
+def test_device_chrs_and_paf_curation_matches_events(inputs, tmp_path):
+    """--chrs restriction + multi-file PAF curation upstream of the fused
+    device depth — outputs byte-identical to events."""
+    from tests.fixtures import make_paf
+
+    ref, hifi_bam, _, _ = inputs
+    rng = np.random.default_rng(0xFAF)
+    rows = []
+    for k in range(300):
+        ri = int(rng.integers(0, len(REFS)))
+        L = LENS[ri]
+        s = int(rng.integers(0, L - 100))
+        e = int(s + rng.integers(50, min(L - s, 5000)))
+        qlen = int((e - s) * rng.uniform(1.0, 1.3))
+        nm = int((e - s) * rng.uniform(0.85, 1.0))
+        rows.append(
+            (f"h{k}", qlen, 0, e - s, "+", REFS[ri], L, s, e, nm, e - s,
+             int(rng.choice([0, 30, 60])))
+        )
+    paf = str(tmp_path / "hifi.paf")
+    make_paf(paf, rows)
+
+    d_ev = str(tmp_path / "ev")
+    d_dv = str(tmp_path / "dv")
+    kw = dict(hifi=[hifi_bam, paf], reference=ref, prefix="C",
+              chrs="chrA,chrC")
+    run_gci(directory=d_ev, depth_backend="events", **kw)
+    run_gci(directory=d_dv, depth_backend="device", **kw)
+    _diff_outputs(d_ev, d_dv, ["C.depth.gz", "C.0.depth.bed", "C.gci"])
