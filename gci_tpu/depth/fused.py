@@ -188,14 +188,30 @@ class DeviceDepth(ResidentDepth):
     # ------------------------------------------------------------ construct
     @staticmethod
     def pad_total_for(total: int) -> int:
+        """Padded genome-axis size: kernel-tile aligned AND size-bucketed.
+
+        The Pallas grid is static, so every distinct padded size is a fresh
+        Mosaic compile (minutes on a remote-compile setup).  Bucketing —
+        next power of two below 64Mi slots, then 64Mi-slot steps — bounds
+        the number of distinct compiled programs while wasting at most
+        64Mi slots (~450 MB of HBM traffic+residency, ~5 ms of kernel
+        time); padded tail slots carry zero deltas and invalid masks.
+        """
         import jax
 
-        unit = 8
-        if jax.default_backend() == "tpu":
-            from gci_tpu.depth.pallas_scan import DEF_ROWS, LANES
+        if jax.default_backend() != "tpu":
+            return total + ((-total) % 8)
+        from gci_tpu.depth.pallas_scan import DEF_ROWS, LANES
 
-            unit = DEF_ROWS * LANES
-        return total + ((-total) % unit)
+        unit = DEF_ROWS * LANES
+        total = total + ((-total) % unit)
+        bucket = 64 * 1024 * 1024  # 64Mi slots (a unit multiple: 256 chunks)
+        if total < bucket:
+            p = unit
+            while p < total:
+                p *= 2
+            return p
+        return total + ((-total) % bucket)
 
     @staticmethod
     def gap_marks_for(layout: GenomeLayout, gaps, pad_total: int):

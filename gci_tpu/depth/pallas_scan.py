@@ -31,6 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 DEF_ROWS = 2048  # chunk = ROWS*LANES elements (2048*128 = 256Ki = 1 MiB int32)
 
+# every grid step is independent (chunk carries are precomputed), so tell
+# Mosaic the grid dimension is parallel — enables DMA pipelining/reordering
+# instead of strictly sequential iteration
+_PARALLEL_GRID = pltpu.CompilerParams(dimension_semantics=("parallel",))
+
 
 def _lane_inclusive_scan(x):
     """Inclusive cumsum along axis=1 (lanes) via doubling shifts."""
@@ -160,6 +165,7 @@ def depth_scan(delta: jax.Array, rows: int = DEF_ROWS, interpret: bool = False):
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int32)],
+        compiler_params=None if interpret else _PARALLEL_GRID,
         interpret=interpret,
     )(carry, d2)
     return depth.reshape(total)
@@ -235,6 +241,7 @@ def fused_depth_scan(
             jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int8),
             jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int8),
         ],
+        compiler_params=None if interpret else _PARALLEL_GRID,
         interpret=interpret,
     )(carry, seed_valid, lo, hi, d2, v2)
     return (
@@ -327,6 +334,7 @@ def fused_depth_scan_masked(
             jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int8),
             jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int8),
         ],
+        compiler_params=None if interpret else _PARALLEL_GRID,
         interpret=interpret,
     )(carry, seed_valid, seed_gap, lo, hi, d2, g2, v2)
     return (

@@ -178,14 +178,15 @@ class ShardedDepth(ResidentDepth):
         import jax
 
         gp = mesh.shape["gp"]
-        unit = gp
         if jax.default_backend() == "tpu":
-            # align each gp shard to the Pallas scan tile so the per-shard
-            # prefix sum takes the fused kernel path
-            from gci_tpu.depth.pallas_scan import DEF_ROWS, LANES
+            # per-shard size: Pallas-tile aligned + size-bucketed (shared
+            # compile keys across nearby genome sizes — see
+            # DeviceDepth.pad_total_for), so the per-shard prefix sum takes
+            # the fused kernel path without a fresh Mosaic compile per size
+            from gci_tpu.depth.fused import DeviceDepth
 
-            unit = gp * DEF_ROWS * LANES
-        return total + ((-total) % unit)
+            return DeviceDepth.pad_total_for(-(-total // gp)) * gp
+        return total + ((-total) % gp)
 
     @classmethod
     def from_reads(
