@@ -11,7 +11,8 @@ filtered+depth-binned per chip"; the reference ships no speed harness):
    boundaries in one pass) timed alone, reported as achieved GB/s vs the
    v5e HBM speed-of-light (~819 GB/s);
 3. e2e file-to-file — a real `gci -r ref.fa --hifi x.bam` run (synthetic
-   500 Mbp genome / 2M-read BAM, generated once and cached) through
+   500 Mbp genome / 250k-read BAM with real seq/qual bytes, generated once
+   and cached) through
    run_gci for both the events (host) and device (fused TPU) backends,
    with the per-stage breakdown (pack / curation / depth / bed / checkpoint
    write) — the honest wall-clock the 937x-style extrapolations exclude.

@@ -126,7 +126,7 @@ def build_parser() -> argparse.ArgumentParser:
         "genomes) [auto]",
     )
     group_tpu.add_argument(
-        "--mesh", metavar="DPxGP", default=None,
+        "--mesh", metavar="DP,GP", default=None,
         help="Device mesh for the sharded backend as 'dp,gp' (data-parallel "
         "reads x genome-axis shards), or 'auto' to span all local devices; "
         "implies --device sharded [None]",

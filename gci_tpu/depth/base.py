@@ -22,6 +22,33 @@ class ResidentDepth:
     """Marker base: whole-genome depth resident on accelerator memory."""
 
 
+def gap_interval_events(layout, gaps):
+    """Clamped global (starts, stops) int64 arrays for N-gap intervals.
+
+    Shared by the single-chip and sharded gap-mask builders so the clamp
+    semantics (``max(0, min(x, L))``, empty-interval drop, unknown-target
+    skip) cannot diverge between backends.
+    """
+    index = {n: k for k, n in enumerate(layout.names)}
+    starts: list[int] = []
+    stops: list[int] = []
+    for t, segs in (gaps or {}).items():
+        k = index.get(t)
+        if k is None:
+            continue
+        o = int(layout.offsets[k])
+        L = int(layout.lengths[k])
+        for s, e in segs:
+            s, e = max(0, min(int(s), L)), max(0, min(int(e), L))
+            if e > s:
+                starts.append(o + s)
+                stops.append(o + e)
+    return (
+        np.asarray(starts, np.int64),
+        np.asarray(stops, np.int64),
+    )
+
+
 def events_from_change_indices(layout, idx: np.ndarray, gather):
     """Build per-target ``DepthEvents`` from global run-boundary indices.
 

@@ -220,21 +220,10 @@ class DeviceDepth(ResidentDepth):
         Built on device from O(gaps) scatter events + one prefix sum — the
         host never materializes a per-base mask.
         """
-        index = {n: k for k, n in enumerate(layout.names)}
-        starts: list[int] = []
-        stops: list[int] = []
-        for t, segs in (gaps or {}).items():
-            k = index.get(t)
-            if k is None:
-                continue
-            o = int(layout.offsets[k])
-            L = int(layout.lengths[k])
-            for s, e in segs:
-                s, e = max(0, min(int(s), L)), max(0, min(int(e), L))
-                if e > s:
-                    starts.append(o + s)
-                    stops.append(o + e)
-        if not starts:
+        from gci_tpu.depth.base import gap_interval_events
+
+        starts, stops = gap_interval_events(layout, gaps)
+        if starts.shape[0] == 0:
             return None
         return _marks_from_intervals(starts, stops, pad_total)
 

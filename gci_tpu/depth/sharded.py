@@ -48,6 +48,16 @@ def _change_fn(mesh, pad_total):
     return make_sharded_change_fn(mesh, pad_total)
 
 
+@functools.lru_cache(maxsize=32)
+def _replicated_take_fn(mesh):
+    """Cached replicated-output gather for multi-process value readback."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.jit(jnp.take, out_shardings=NamedSharding(mesh, P()))
+
+
 @functools.lru_cache(maxsize=8)
 def _mask_max_fns():
     import jax
@@ -150,10 +160,18 @@ def parse_mesh_spec(spec: str | None = None, n_devices: int | None = None):
 
     if spec in (None, "", "auto"):
         return make_mesh(n_devices)
-    parts = [int(p) for p in str(spec).split(",")]
-    if len(parts) == 1:
-        return make_mesh(parts[0])
-    dp, gp = parts
+    try:
+        parts = [int(p) for p in str(spec).split(",")]
+        if len(parts) == 1:
+            return make_mesh(parts[0])
+        dp, gp = parts
+    except ValueError:
+        import sys
+
+        sys.exit(
+            f'ERROR!!! Invalid mesh spec "{spec}"\n'
+            "Expected 'dp,gp' (e.g. --mesh 2,4) or 'auto'"
+        )
     return make_mesh(dp * gp, dp=dp)
 
 
@@ -244,25 +262,12 @@ class ShardedDepth(ResidentDepth):
 
         from gci_tpu.parallel.mesh import pad_to_multiple
 
-        index = {n: k for k, n in enumerate(self.layout.names)}
-        starts: list[int] = []
-        stops: list[int] = []
-        for t, segs in (gaps or {}).items():
-            k = index.get(t)
-            if k is None:
-                continue
-            o = int(self.layout.offsets[k])
-            L = int(self.layout.lengths[k])
-            for s, e in segs:
-                s, e = max(0, min(int(s), L)), max(0, min(int(e), L))
-                if e > s:
-                    starts.append(o + s)
-                    stops.append(o + e)
-        if not starts:
+        from gci_tpu.depth.base import gap_interval_events
+
+        gs, ge = gap_interval_events(self.layout, gaps)
+        if gs.shape[0] == 0:
             return self
         shard = self.pad_total // self.mesh.shape["gp"]
-        gs = np.asarray(starts, np.int64)
-        ge = np.asarray(stops, np.int64)
         packed = (
             (gs // shard).astype(np.int32),
             (gs % shard).astype(np.int32),
@@ -341,29 +346,23 @@ class ShardedDepth(ResidentDepth):
         idx = np.flatnonzero(_host_all(change)).astype(np.int64)
 
         def gather(all_idx: np.ndarray) -> np.ndarray:
+            if self.pad_total > _INT32_MAX:
+                # >2^31 slots: int32 device indexing would wrap — gather on
+                # host from the assembled array (O(genome) transfer, the
+                # honest cost at this scale)
+                host = _host_all(self.array)
+                return host[all_idx].astype(np.int64)
             if jax.process_count() > 1:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                take = jax.jit(
-                    jnp.take,
-                    out_shardings=NamedSharding(self.mesh, P()),
-                )
                 with self.mesh:
-                    vals = take(
+                    vals = _replicated_take_fn(self.mesh)(
                         self.array,
-                        _replicated_global(
-                            self.mesh, all_idx.astype(np.int32)
-                        ),
+                        _replicated_global(self.mesh, all_idx.astype(np.int32)),
                     )
                 return np.asarray(vals).astype(np.int64)
-            if self.pad_total <= _INT32_MAX:
-                with self.mesh:
-                    return np.asarray(
-                        jnp.take(self.array, jnp.asarray(all_idx.astype(np.int32)))
-                    ).astype(np.int64)
-            # >2^31 slots: gather shard-locally on host per index block
-            host = np.asarray(self.array)
-            return host[all_idx].astype(np.int64)
+            with self.mesh:
+                return np.asarray(
+                    jnp.take(self.array, jnp.asarray(all_idx.astype(np.int32)))
+                ).astype(np.int64)
 
         self._events = events_from_change_indices(self.layout, idx, gather)
         return self._events

@@ -40,14 +40,9 @@ from gci_tpu.score.report import compute_continuity_report
 
 
 def _require_writable(path: str, force: bool) -> None:
-    from gci_tpu.parallel.distributed import is_primary_host
+    from gci_tpu.utils.files import require_writable
 
-    if not is_primary_host():
-        return
-    if os.path.exists(path) and not force:
-        sys.exit(
-            f'ERROR!!! The file "{path}" exists\nPlease use "-f" or "--force" to rewrite'
-        )
+    require_writable(path, force)
 
 
 def run_filter(

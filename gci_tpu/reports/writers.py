@@ -17,10 +17,9 @@ from gci_tpu.io.bed import write_bed_dict
 
 
 def _require_writable(path: str, force: bool) -> None:
-    if os.path.exists(path) and not force:
-        sys.exit(
-            f'ERROR!!! The file "{path}" exists\nPlease use "-f" or "--force" to rewrite'
-        )
+    from gci_tpu.utils.files import require_writable
+
+    require_writable(path, force)
 
 
 def emit_issue_bed(
@@ -43,8 +42,8 @@ def emit_issue_bed(
     primary = is_primary_host()
     print(f"Getting {log_reads_type} issues bed file detected by GCI ...")
     path = f"{directory}/{prefix}.{threshold}.depth.bed"
-    if primary:
-        _require_writable(path, force)
+    # all processes join (the check broadcasts the primary's decision)
+    _require_writable(path, force)
     from gci_tpu.utils import stage
 
     with stage(f"issue_bed:{prefix}"):
@@ -77,7 +76,7 @@ def emit_gaps_bed(
     from gci_tpu.parallel.distributed import is_primary_host
 
     path = f"{directory}/{prefix}.gaps.bed"
+    _require_writable(path, force)
     if is_primary_host():
-        _require_writable(path, force)
         write_bed_dict(path, gaps)
     return path

@@ -25,10 +25,9 @@ _SEPARATOR = "-" * 136 + "\n\n\n"
 
 
 def _require_writable(path: str, force: bool) -> None:
-    if os.path.exists(path) and not force:
-        sys.exit(
-            f'ERROR!!! The file "{path}" exists\nPlease use "-f" or "--force" to rewrite'
-        )
+    from gci_tpu.utils.files import require_writable
+
+    require_writable(path, force)
 
 
 def compute_continuity_report(
@@ -52,18 +51,21 @@ def compute_continuity_report(
     """
     from gci_tpu.parallel.distributed import is_primary_host
 
+    regions_bed = regions_bed or {}
+    gci_path = f"{directory}/{prefix}.gci"
+    # overwrite checks run on ALL processes (they broadcast the primary's
+    # decision so a blocked run exits everywhere instead of deadlocking)
+    _require_writable(gci_path, force)
+    if len(regions_bed) > 0:
+        regions_path = f"{directory}/{prefix}.regions.gci"
+        _require_writable(regions_path, force)
     if not is_primary_host():
         # multi-host runs: scoring is pure host math over interval lists —
         # every collective has already run upstream; only process 0 writes
         return
-    regions_bed = regions_bed or {}
-    gci_path = f"{directory}/{prefix}.gci"
-    _require_writable(gci_path, force)
     with open(gci_path, "w"):
         pass
     if len(regions_bed) > 0:
-        regions_path = f"{directory}/{prefix}.regions.gci"
-        _require_writable(regions_path, force)
         with open(regions_path, "w") as f:
             f.write("Chromosome\tStart\tEnd\t" + "\t".join(type_list) + "\n")
 

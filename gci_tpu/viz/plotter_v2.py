@@ -76,6 +76,24 @@ class SynchronizedDepthReader:
                 rec_o = next(it_o, None) if it_o is not None else None
                 if rec_h is None and rec_o is None:
                     break
+                if (
+                    (rec_h is None) != (rec_o is None)
+                    and it_h is not None
+                    and it_o is not None
+                    and not getattr(self, "_warned_desync", False)
+                ):
+                    # one file exhausted while the other still has sequences
+                    # — likely a truncated checkpoint; keep plotting what
+                    # exists (reference behavior) but say so, once
+                    import sys
+
+                    self._warned_desync = True
+                    short = self.hifi_file if rec_h is None else self.ont_file
+                    print(
+                        f"WARNING!!! '{short}' ended before its partner — "
+                        "remaining sequences plot with one empty track",
+                        file=sys.stderr,
+                    )
                 if rec_h is not None and rec_o is not None and rec_h[0] != rec_o[0]:
                     raise ValueError(
                         f"depth files are not sequence-synchronized: "
