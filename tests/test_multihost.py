@@ -109,3 +109,54 @@ def test_two_process_sharded_cli_matches_single_process(tmp_path):
     _diff(d_ref, d_mh, [
         "M.depth.gz", "M.0.depth.bed", "M.gci", "M.regions.gci", "M.gaps.bed",
     ])
+
+
+def test_two_process_overwrite_block_exits_everywhere(tmp_path):
+    """Existing output without --force: the primary's decision broadcasts and
+    BOTH processes exit (a primary-only sys.exit would leave the other
+    process hung in the next collective)."""
+    rng = np.random.default_rng(0xD158)
+    ref = str(tmp_path / "ref.fa")
+    make_fasta(ref, [(r, "".join(rng.choice(list("ACGT"), size=L)))
+                     for r, L in zip(REFS, LENS)])
+    bam = str(tmp_path / "hifi.bam")
+    make_bam(bam, REFS, LENS, random_reads(rng, REFS, LENS, 120, name_prefix="h"))
+    d_mh = str(tmp_path / "multi")
+    os.makedirs(d_mh)
+    with open(os.path.join(d_mh, "M.depth.gz"), "wb") as f:
+        f.write(b"preexisting")
+
+    port = _free_port()
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+    )
+    boot = str(tmp_path / "boot.py")
+    with open(boot, "w") as f:
+        f.write(
+            "import sys\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "from gci_tpu.cli import main\n"
+            "main(sys.argv[1:])\n"
+        )
+    procs = []
+    for pid in range(2):
+        cmd = [
+            sys.executable, boot,
+            "-r", ref, "--hifi", bam, "-d", d_mh, "-o", "M",
+            "--device", "sharded", "--mesh", "2,4",
+            "--coordinator", f"127.0.0.1:{port}",
+            "--num-processes", "2", "--process-id", str(pid),
+        ]
+        procs.append(
+            subprocess.Popen(
+                cmd, env=env, cwd=REPO_ROOT,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    for p in procs:
+        out, _ = p.communicate(timeout=300)  # a deadlock would hit this
+        assert p.returncode != 0
+        assert b"exists" in out and b"--force" in out, out[-2000:]
