@@ -2,8 +2,11 @@
 
 XLA lowers a 1-D ``jnp.cumsum`` over the genome axis to ~log2(N) full HBM
 passes (measured ~275 ms for 1 Gbp on v5e — ~30x off memory speed-of-light).
-This kernel restores the memory-bound optimum with the classic two-level
-decomposition:
+This kernel makes the whole per-base stage graph a single pass with the
+classic two-level decomposition (measured, BENCH_r02: 42 ms per 0.5G-slot
+pass for depth+mask+edges+RLE together = 166 GB/s of its 13 B/slot traffic,
+~20% of v5e HBM speed-of-light — the residual gap is in-VMEM VPU work, the
+lane/sublane roll chains, not HBM or DMA serialization):
 
   1. per-chunk sums + exclusive carry: one cheap XLA reduction + a tiny scan,
   2. one fused Pallas pass per chunk: in-VMEM hierarchical scan
