@@ -3,10 +3,14 @@
 XLA lowers a 1-D ``jnp.cumsum`` over the genome axis to ~log2(N) full HBM
 passes (measured ~275 ms for 1 Gbp on v5e — ~30x off memory speed-of-light).
 This kernel makes the whole per-base stage graph a single pass with the
-classic two-level decomposition (measured, BENCH_r02: 42 ms per 0.5G-slot
-pass for depth+mask+edges+RLE together = 166 GB/s of its 13 B/slot traffic,
-~20% of v5e HBM speed-of-light — the residual gap is in-VMEM VPU work, the
-lane/sublane roll chains, not HBM or DMA serialization):
+classic two-level decomposition (measured, BENCH_r02: ~41 ms per 0.5G-slot
+pass for depth+mask+edges+RLE together = ~170 GB/s of its 13 B/slot traffic,
+~21% of v5e HBM speed-of-light).  The lane scan runs on the MXU as a
+triangular-matrix matmul (exact int32 via a 16-bit hi/lo split); swapping it
+in for the earlier VPU roll chain measured wall-clock-neutral (166 -> 170
+GB/s), so the residual gap is NOT lane-scan compute — it is spread across
+the remaining per-chunk VPU work (edge/mask/select passes, the (R, 1)
+sublane scan's narrow layout) and per-grid-step overheads:
 
   1. per-chunk sums + exclusive carry: one cheap XLA reduction + a tiny scan,
   2. one fused Pallas pass per chunk: in-VMEM hierarchical scan
@@ -40,8 +44,8 @@ DEF_ROWS = 2048  # chunk = ROWS*LANES elements (2048*128 = 256Ki = 1 MiB int32)
 _PARALLEL_GRID = pltpu.CompilerParams(dimension_semantics=("parallel",))
 
 
-def _lane_inclusive_scan(x):
-    """Inclusive cumsum along axis=1 (lanes) via doubling shifts."""
+def _lane_inclusive_scan_rolls(x):
+    """Inclusive cumsum along axis=1 (lanes) via doubling shifts (VPU)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     k = 1
     while k < LANES:
@@ -49,6 +53,38 @@ def _lane_inclusive_scan(x):
         x = x + jnp.where(lane >= k, shifted, 0)
         k *= 2
     return x
+
+
+def _lane_inclusive_scan(x):
+    """Inclusive cumsum along axis=1 (lanes) as an MXU matmul.
+
+    ``cumsum(x, axis=1) == x @ A`` with ``A[k, j] = 1 if k <= j`` — one
+    (R, 128) @ (128, 128) matmul on the systolic array instead of the
+    log2(128)=7 full-tile roll+select+add chains the VPU pays (the chains
+    were the dominant in-VMEM cost; see module docstring).
+
+    Exact int32 semantics: the int32 operand is split into 16-bit halves
+    (``lo`` in [0, 65535], ``hi`` arithmetic), each scanned with an exact
+    f32 matmul — per-half row cumsums are < 128·2^16 = 2^23 < 2^24, so f32
+    accumulation is exact (with HIGHEST precision the bf16 decomposition of
+    values < 2^16 is also exact) — then recombined as ``(hi << 16) + lo``
+    in int32, which wraps mod 2^32 exactly like a native int32 cumsum.
+    """
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    tri = (i0 <= i1).astype(jnp.float32)
+    lo = jnp.bitwise_and(x, 0xFFFF).astype(jnp.float32)
+    hi = jnp.right_shift(x, 16).astype(jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    cs_lo = jax.lax.dot_general(
+        lo, tri, dn, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    cs_hi = jax.lax.dot_general(
+        hi, tri, dn, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.left_shift(cs_hi.astype(jnp.int32), 16) + cs_lo.astype(jnp.int32)
 
 
 def _sublane_exclusive_scan(col):

@@ -32,3 +32,15 @@ def test_fused_scan_chunk_boundary_run(rng):
     depth, rise, fall = fused_depth_scan(delta, valid, -1, 0, rows=rows, interpret=True)
     assert np.asarray(rise).sum() == 1 and np.asarray(rise)[0] == 1
     assert np.asarray(fall).sum() == 0
+
+
+def test_fused_scan_large_magnitude_deltas(rng):
+    # pins the MXU lane-scan's 16-bit hi/lo split: deltas large enough that
+    # the within-row cumsum crosses the 2^16 boundary both ways and the
+    # (hi << 16) + lo recombination must wrap exactly like int32 cumsum
+    rows = 8
+    total = 2 * rows * LANES
+    delta = rng.integers(-(2**23), 2**23, size=total).astype(np.int32)
+    valid = np.ones(total, dtype=np.int8)
+    depth, rise, fall = fused_depth_scan(delta, valid, -1, 0, rows=rows, interpret=True)
+    np.testing.assert_array_equal(np.asarray(depth), np.cumsum(delta).astype(np.int32))
