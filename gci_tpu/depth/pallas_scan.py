@@ -8,9 +8,11 @@ pass for depth+mask+edges+RLE together = ~170 GB/s of its 13 B/slot traffic,
 ~21% of v5e HBM speed-of-light).  The lane scan runs on the MXU as a
 triangular-matrix matmul (exact int32 via a 16-bit hi/lo split); swapping it
 in for the earlier VPU roll chain measured wall-clock-neutral (166 -> 170
-GB/s), so the residual gap is NOT lane-scan compute — it is spread across
-the remaining per-chunk VPU work (edge/mask/select passes, the (R, 1)
-sublane scan's narrow layout) and per-grid-step overheads:
+GB/s), so the residual gap is NOT lane-scan compute — and larger blocks
+measured WORSE (rows=4096: 163 GB/s, rows=8192: 134 GB/s, with
+vmem_limit_bytes raised past the 16M scoped default they need), so it is
+not per-grid-step overhead either; rows=2048 (1 MiB int32 blocks) is the
+empirical sweet spot for overlapping the 7 DMA streams:
 
   1. per-chunk sums + exclusive carry: one cheap XLA reduction + a tiny scan,
   2. one fused Pallas pass per chunk: in-VMEM hierarchical scan
