@@ -369,6 +369,17 @@ def main():
         # steady-state: compiles cached, kernels warm
         "device": run_e2e("device", ref, bam),
     }
+    # real-hardware parity: the TPU-executed backend must produce the SAME
+    # bytes as the host events backend (the writer is deterministic, so any
+    # kernel divergence shows up here, on the real chip, every round)
+    mismatched = [
+        f for f in ("B.depth.gz", "B.0.depth.bed", "B.gci")
+        if open(os.path.join(E2E_DIR, "out_events", f), "rb").read()
+        != open(os.path.join(E2E_DIR, "out_device", f), "rb").read()
+    ]
+    e2e["device_output_parity"] = not mismatched
+    if mismatched:
+        e2e["device_output_mismatches"] = mismatched
     # reference-style wall-clock for THIS workload (scaled), for an e2e ratio.
     # NOTE: this EXCLUDES the reference's pysam BGZF-inflate cost (our
     # bam_pack stage pays the real one), so the ratio is a lower bound.
