@@ -24,7 +24,8 @@ _lib = None
 def _build() -> None:
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-fvisibility=hidden", _SRC, "-lz", "-lpthread", "-o", _SO + ".tmp",
+        "-fvisibility=hidden", _SRC, "-lz", "-ldeflate", "-lpthread",
+        "-o", _SO + ".tmp",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(_SO + ".tmp", _SO)
