@@ -79,7 +79,39 @@ def read_bam(
     keep_names: bool = True,
     keep_raw: bool = False,
 ) -> BamData:
-    """Parse a whole BAM into packed columns (native packer, Python fallback)."""
+    """Parse a whole BAM into packed columns (native packer, Python fallback).
+
+    Without ``keep_raw`` this drains the bounded-memory stream (peak RSS is
+    O(chunk), not O(inflated file)); ``keep_raw`` needs the full record body
+    resident for filtered-BAM export, so it takes the whole-file path.
+    """
+    if not keep_raw:
+        stream = BamStream(path, threads=threads, keep_names=keep_names)
+        with stream:
+            chunks = list(stream)
+        cols = {
+            k: (
+                np.concatenate([c.columns[k] for c in chunks])
+                if chunks else np.empty(0, dtype=np.int32)
+            )
+            for k in _COL_NAMES
+        }
+        keys = (
+            np.concatenate([c.name_keys for c in chunks])
+            if chunks
+            else np.empty((0, 2), dtype=np.uint64)
+        )
+        names = None
+        if keep_names:
+            names = [n for c in chunks for n in (c.names or [])]
+        return BamData(
+            references=stream.references,
+            lengths=stream.lengths,
+            header_text=stream.header_text,
+            columns=cols,
+            name_keys=keys,
+            names=names,
+        )
     try:
         from gci_tpu.native import NativeBam
 
@@ -101,6 +133,97 @@ def read_bam(
         )
     except (ImportError, OSError):
         return _read_bam_python(path, keep_names=keep_names, keep_raw=keep_raw)
+
+
+@dataclass
+class BamChunk:
+    """One streamed batch of packed BAM record columns."""
+
+    columns: dict[str, np.ndarray]
+    name_keys: np.ndarray  # (n, 2) uint64
+    names: list[bytes] | None = None
+
+    @property
+    def n_records(self) -> int:
+        return int(self.columns["ref_id"].shape[0])
+
+
+class BamStream:
+    """Bounded-memory streaming BAM reader.
+
+    The reference fetches (target, window) tasks via pysam (GCI.py:146-169,
+    task split GCI.py:260-270) with the whole file resident in the BGZF
+    layer; here a native producer thread streams BGZF chunks (read ->
+    parallel inflate -> record parse) while the consumer filters the
+    previous chunk, so peak memory is O(chunk), not O(file).
+
+    ``comp_range=(start, end)`` restricts the stream to records that START
+    in a BGZF block whose compressed file offset is inside [start, end) —
+    the per-host input shard unit for multi-host runs.  Shards partition a
+    file exactly: every record belongs to the one range containing its
+    first byte's block.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        threads: int = 4,
+        keep_names: bool = False,
+        comp_range: tuple[int, int] | None = None,
+        chunk_bytes: int = 64 << 20,
+    ):
+        self._path = path
+        self._native = None
+        self._fallback = None
+        try:
+            from gci_tpu.native import NativeBamStream
+
+            self._native = NativeBamStream(
+                path, nthreads=threads, keep_names=keep_names,
+                comp_range=comp_range, chunk_bytes=chunk_bytes,
+            )
+            self.references = self._native.references
+            self.lengths = self._native.lengths
+            self.header_text = self._native.header_text
+        except (ImportError, OSError):
+            if comp_range is not None:
+                raise  # range shards need the native reader
+            # pure-Python fallback: whole file as a single chunk
+            self._fallback = _read_bam_python(
+                path, keep_names=keep_names, keep_raw=False
+            )
+            self.references = self._fallback.references
+            self.lengths = self._fallback.lengths
+            self.header_text = self._fallback.header_text
+
+    def targets_length(self) -> dict[str, int]:
+        return dict(zip(self.references, self.lengths))
+
+    def __iter__(self):
+        if self._fallback is not None:
+            fb = self._fallback
+            yield BamChunk(
+                columns=fb.columns, name_keys=fb.name_keys, names=fb.names
+            )
+            return
+        from gci_tpu.io.names import key128
+
+        for ch in self._native:
+            yield BamChunk(
+                columns=ch.columns,
+                name_keys=key128(ch.name_hash, ch.name_hash2),
+                names=ch.names,
+            )
+
+    def close(self) -> None:
+        if self._native is not None:
+            self._native.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 # ---------------------------------------------------------------------------

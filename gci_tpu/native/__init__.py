@@ -132,6 +132,31 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.gci_fasta_num_gaps.restype = c.c_int64
     lib.gci_fasta_num_gaps.argtypes = [c.c_void_p]
     lib.gci_fasta_copy_gaps.argtypes = [c.c_void_p, i64p, i64p, i64p]
+    lib.gci_bam_stream_open.restype = c.c_void_p
+    lib.gci_bam_stream_open.argtypes = [
+        c.c_char_p, c.c_int, c.c_int, c.c_int64, c.c_int64, c.c_int64,
+    ]
+    lib.gci_bam_stream_free.argtypes = [c.c_void_p]
+    lib.gci_bam_stream_error.restype = c.c_char_p
+    lib.gci_bam_stream_error.argtypes = [c.c_void_p]
+    lib.gci_bam_stream_num_refs.restype = c.c_int64
+    lib.gci_bam_stream_num_refs.argtypes = [c.c_void_p]
+    lib.gci_bam_stream_ref_name.restype = c.c_char_p
+    lib.gci_bam_stream_ref_name.argtypes = [c.c_void_p, c.c_int64]
+    lib.gci_bam_stream_ref_len.restype = c.c_int64
+    lib.gci_bam_stream_ref_len.argtypes = [c.c_void_p, c.c_int64]
+    lib.gci_bam_stream_header_text_size.restype = c.c_int64
+    lib.gci_bam_stream_header_text_size.argtypes = [c.c_void_p]
+    lib.gci_bam_stream_copy_header_text.argtypes = [c.c_void_p, u8p]
+    lib.gci_bam_stream_next.restype = c.c_void_p
+    lib.gci_bam_stream_next.argtypes = [c.c_void_p]
+    lib.gci_chunk_free.argtypes = [c.c_void_p]
+    lib.gci_chunk_num_records.restype = c.c_int64
+    lib.gci_chunk_num_records.argtypes = [c.c_void_p]
+    lib.gci_chunk_copy_columns.argtypes = [c.c_void_p] + [i32p] * 13 + [u64p, u64p]
+    lib.gci_chunk_name_blob_size.restype = c.c_int64
+    lib.gci_chunk_name_blob_size.argtypes = [c.c_void_p]
+    lib.gci_chunk_copy_names.argtypes = [c.c_void_p, u8p, i64p]
 
 
 def get_lib() -> ctypes.CDLL:
@@ -444,3 +469,129 @@ def scan_fasta_native(path: str) -> tuple[dict[str, int], dict[str, list[tuple[i
         return lengths, gaps
     finally:
         lib.gci_fasta_free(h)
+
+
+class NativeBamChunk:
+    """Packed columns for one streamed batch of BAM records."""
+
+    __slots__ = ("columns", "name_hash", "name_hash2", "names")
+
+    def __init__(self, lib, handle, keep_names: bool):
+        try:
+            n = int(lib.gci_chunk_num_records(handle))
+            cols = {
+                name: np.empty(n, dtype=np.int32)
+                for name in (
+                    "ref_id", "pos", "ref_end", "qlen", "mapq", "flag",
+                    "m", "i", "d", "s", "eq", "x", "nm",
+                )
+            }
+            h1 = np.empty(n, dtype=np.uint64)
+            h2 = np.empty(n, dtype=np.uint64)
+            if n:
+                lib.gci_chunk_copy_columns(
+                    handle,
+                    *[_as_ptr(cols[k], ctypes.c_int32) for k in cols],
+                    _as_ptr(h1, ctypes.c_uint64),
+                    _as_ptr(h2, ctypes.c_uint64),
+                )
+            self.columns = cols
+            self.name_hash = h1
+            self.name_hash2 = h2
+            self.names = None
+            if keep_names:
+                bsz = lib.gci_chunk_name_blob_size(handle)
+                blob = np.empty(max(bsz, 1), dtype=np.uint8)
+                offs = np.empty(n + 1, dtype=np.int64)
+                if n:
+                    lib.gci_chunk_copy_names(
+                        handle, _as_ptr(blob, ctypes.c_uint8),
+                        _as_ptr(offs, ctypes.c_int64),
+                    )
+                else:
+                    offs[:] = 0
+                raw = blob[:bsz].tobytes()
+                self.names = [
+                    raw[offs[i]: offs[i + 1]] for i in range(n)
+                ]
+        finally:
+            lib.gci_chunk_free(handle)
+
+    @property
+    def n_records(self) -> int:
+        return int(self.columns["ref_id"].shape[0])
+
+
+class NativeBamStream:
+    """Bounded-memory streaming BAM reader (C++ producer pipeline).
+
+    Replaces the whole-file inflate of ``NativeBam`` for the filter path:
+    the reference streams windows via pysam fetch (GCI.py:146-169); here a
+    background C++ thread reads + inflates + parses BGZF chunks while the
+    consumer filters the previous one.  ``comp_range=(start, end)`` limits
+    the stream to records starting in BGZF blocks within the compressed
+    byte range — the per-host input shard unit.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        nthreads: int = 2,
+        keep_names: bool = False,
+        comp_range: tuple[int, int] | None = None,
+        chunk_bytes: int = 64 << 20,
+    ):
+        lib = get_lib()
+        self._lib = lib
+        self._keep_names = keep_names
+        start, end = comp_range if comp_range is not None else (0, -1)
+        h = lib.gci_bam_stream_open(
+            path.encode(), nthreads, int(keep_names), start, end, chunk_bytes
+        )
+        if not h:
+            raise OSError(f"cannot open BAM file: {path}")
+        self._h = h
+        err = lib.gci_bam_stream_error(h)
+        if err:
+            msg = err.decode()
+            self.close()
+            raise ValueError(f"{path}: {msg}")
+        nref = int(lib.gci_bam_stream_num_refs(h))
+        self.references = [
+            lib.gci_bam_stream_ref_name(h, i).decode() for i in range(nref)
+        ]
+        self.lengths = [
+            int(lib.gci_bam_stream_ref_len(h, i)) for i in range(nref)
+        ]
+        ht_size = lib.gci_bam_stream_header_text_size(h)
+        ht = np.empty(max(ht_size, 1), dtype=np.uint8)
+        if ht_size:
+            lib.gci_bam_stream_copy_header_text(h, _as_ptr(ht, ctypes.c_uint8))
+        self.header_text = ht[:ht_size].tobytes().decode(errors="replace")
+
+    def __iter__(self):
+        while True:
+            ch = self._lib.gci_bam_stream_next(self._h)
+            if not ch:
+                err = self._lib.gci_bam_stream_error(self._h)
+                if err:
+                    raise ValueError(err.decode())
+                return
+            yield NativeBamChunk(self._lib, ch, self._keep_names)
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.gci_bam_stream_free(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

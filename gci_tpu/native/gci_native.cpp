@@ -28,6 +28,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
 #include <mutex>
 #include <string>
 #include <thread>
@@ -521,6 +522,80 @@ static int64_t find_nm(const uint8_t* p, const uint8_t* end,
   return nm;
 }
 
+// Decoded fields of one BAM record (spec: fields used by GCI.py:146-169).
+struct RecFields {
+  int32_t ref_id, pos, ref_end, qlen, mapq, flag;
+  int32_t m, i, d, s, eq, x, nm;
+  uint64_t h1, h2;
+  const char* rname;
+  size_t rname_len;
+};
+
+// `rec` points at refID (the byte after block_size).
+static void parse_record_fields(const uint8_t* rec, uint32_t block_size,
+                                RecFields& o) {
+  const uint8_t* rec_end = rec + block_size;
+  int32_t refID = rd_i32(rec + 0);
+  int32_t pos = rd_i32(rec + 4);
+  uint8_t l_read_name = rec[8];
+  uint8_t mapq = rec[9];
+  uint16_t n_cigar = rd_u16(rec + 12);
+  uint16_t flag = rd_u16(rec + 14);
+  int32_t l_seq = rd_i32(rec + 16);
+  const char* rname = (const char*)rec + 32;
+  const uint8_t* cig = rec + 32 + l_read_name;
+  const uint8_t* seq = cig + 4ull * n_cigar;
+  const uint8_t* qual = seq + (l_seq + 1) / 2;
+  const uint8_t* aux = qual + l_seq;
+  const uint8_t* cg_data = nullptr;
+  uint32_t cg_count = 0;
+  int64_t nm = find_nm(aux, rec_end, &cg_data, &cg_count);
+  // long-CIGAR convention: real cigar is in CG:B,I when the inline
+  // cigar is kSmN with k == l_seq (same rule htslib applies)
+  const uint8_t* use_cig = cig;
+  uint32_t use_n = n_cigar;
+  if (cg_data && n_cigar == 2) {
+    uint32_t c0 = rd_u32(cig);
+    if ((c0 & 0xf) == 4 /*S*/ && (int32_t)(c0 >> 4) == l_seq) {
+      use_cig = cg_data;
+      use_n = cg_count;
+    }
+  }
+  int64_t m = 0, ins = 0, del = 0, soft = 0, eq = 0, x = 0, rspan = 0;
+  for (uint32_t c = 0; c < use_n; c++) {
+    uint32_t v = rd_u32(use_cig + 4ull * c);
+    uint32_t op = v & 0xf;
+    int64_t len = v >> 4;
+    switch (op) {
+      case 0: m += len; rspan += len; break;   // M
+      case 1: ins += len; break;               // I
+      case 2: del += len; rspan += len; break; // D
+      case 3: rspan += len; break;             // N
+      case 4: soft += len; break;              // S
+      case 7: eq += len; rspan += len; break;  // =
+      case 8: x += len; rspan += len; break;   // X
+      default: break;                          // H, P
+    }
+  }
+  o.ref_id = refID;
+  o.pos = pos;
+  o.ref_end = (int32_t)(pos + rspan);
+  o.qlen = l_seq;
+  o.mapq = mapq;
+  o.flag = flag;
+  o.m = (int32_t)m;
+  o.i = (int32_t)ins;
+  o.d = (int32_t)del;
+  o.s = (int32_t)soft;
+  o.eq = (int32_t)eq;
+  o.x = (int32_t)x;
+  o.nm = (int32_t)nm;
+  o.rname = rname;
+  o.rname_len = l_read_name > 0 ? (size_t)l_read_name - 1 : 0;
+  o.h1 = fnv1a64(rname, o.rname_len);
+  o.h2 = hash2_64(rname, o.rname_len);
+}
+
 static PackedBam* bam_parse(const uint8_t* u, size_t n, bool keep_names,
                             bool keep_raw, int nthreads) {
   auto* pb = new PackedBam();
@@ -588,69 +663,25 @@ static PackedBam* bam_parse(const uint8_t* u, size_t n, bool keep_names,
     size_t hi = nrec * (size_t)(t + 1) / (size_t)T;
     std::string& blob = blobs[(size_t)t];
     for (size_t i = lo; i < hi; i++) {
-      const uint8_t* rec = u + offs[i] + 4;
-      uint32_t block_size = rd_u32(u + offs[i]);
-      const uint8_t* rec_end = rec + block_size;
-      int32_t refID = rd_i32(rec + 0);
-      int32_t pos = rd_i32(rec + 4);
-      uint8_t l_read_name = rec[8];
-      uint8_t mapq = rec[9];
-      uint16_t n_cigar = rd_u16(rec + 12);
-      uint16_t flag = rd_u16(rec + 14);
-      int32_t l_seq = rd_i32(rec + 16);
-      const char* rname = (const char*)rec + 32;
-      const uint8_t* cig = rec + 32 + l_read_name;
-      const uint8_t* seq = cig + 4ull * n_cigar;
-      const uint8_t* qual = seq + (l_seq + 1) / 2;
-      const uint8_t* aux = qual + l_seq;
-      const uint8_t* cg_data = nullptr;
-      uint32_t cg_count = 0;
-      int64_t nm = find_nm(aux, rec_end, &cg_data, &cg_count);
-      // long-CIGAR convention: real cigar is in CG:B,I when the inline
-      // cigar is kSmN with k == l_seq (same rule htslib applies)
-      const uint8_t* use_cig = cig;
-      uint32_t use_n = n_cigar;
-      if (cg_data && n_cigar == 2) {
-        uint32_t c0 = rd_u32(cig);
-        if ((c0 & 0xf) == 4 /*S*/ && (int32_t)(c0 >> 4) == l_seq) {
-          use_cig = cg_data;
-          use_n = cg_count;
-        }
-      }
-      int64_t m = 0, ins = 0, del = 0, soft = 0, eq = 0, x = 0, rspan = 0;
-      for (uint32_t c = 0; c < use_n; c++) {
-        uint32_t v = rd_u32(use_cig + 4ull * c);
-        uint32_t op = v & 0xf;
-        int64_t len = v >> 4;
-        switch (op) {
-          case 0: m += len; rspan += len; break;   // M
-          case 1: ins += len; break;               // I
-          case 2: del += len; rspan += len; break; // D
-          case 3: rspan += len; break;             // N
-          case 4: soft += len; break;              // S
-          case 7: eq += len; rspan += len; break;  // =
-          case 8: x += len; rspan += len; break;   // X
-          default: break;                          // H, P
-        }
-      }
-      pb->ref_id[i] = refID;
-      pb->pos[i] = pos;
-      pb->ref_end[i] = (int32_t)(pos + rspan);
-      pb->qlen[i] = l_seq;
-      pb->mapq[i] = mapq;
-      pb->flag[i] = flag;
-      pb->cig_m[i] = (int32_t)m;
-      pb->cig_i[i] = (int32_t)ins;
-      pb->cig_d[i] = (int32_t)del;
-      pb->cig_s[i] = (int32_t)soft;
-      pb->cig_eq[i] = (int32_t)eq;
-      pb->cig_x[i] = (int32_t)x;
-      pb->nm[i] = (int32_t)nm;
-      size_t name_len = l_read_name > 0 ? (size_t)l_read_name - 1 : 0;
-      name_lens[i] = (int64_t)name_len;
-      pb->name_hash[i] = fnv1a64(rname, name_len);
-      pb->name_hash2[i] = hash2_64(rname, name_len);
-      if (keep_names) blob.append(rname, name_len);
+      RecFields o;
+      parse_record_fields(u + offs[i] + 4, rd_u32(u + offs[i]), o);
+      pb->ref_id[i] = o.ref_id;
+      pb->pos[i] = o.pos;
+      pb->ref_end[i] = o.ref_end;
+      pb->qlen[i] = o.qlen;
+      pb->mapq[i] = o.mapq;
+      pb->flag[i] = o.flag;
+      pb->cig_m[i] = o.m;
+      pb->cig_i[i] = o.i;
+      pb->cig_d[i] = o.d;
+      pb->cig_s[i] = o.s;
+      pb->cig_eq[i] = o.eq;
+      pb->cig_x[i] = o.x;
+      pb->nm[i] = o.nm;
+      name_lens[i] = (int64_t)o.rname_len;
+      pb->name_hash[i] = o.h1;
+      pb->name_hash2[i] = o.h2;
+      if (keep_names) blob.append(o.rname, o.rname_len);
     }
   };
   if (T <= 1) {
@@ -1546,4 +1577,728 @@ GCI_API void gci_druns_copy_target(void* h, int64_t i, int64_t* values,
     memcpy(values, dr->run_values.data() + s, (size_t)(e - s) * sizeof(int64_t));
     memcpy(counts, dr->run_counts.data() + s, (size_t)(e - s) * sizeof(int64_t));
   }
+}
+
+// ===========================================================================
+// Streaming BAM reader: bounded-memory chunk pipeline.
+//
+// TPU-native replacement for the reference's windowed pysam fetch
+// (GCI.py:146-169, task split GCI.py:260-270): a background producer reads
+// BGZF blocks sequentially, inflates them on a small thread pool
+// (libdeflate), walks the record chain across block boundaries, and emits
+// packed column chunks.  Peak memory is O(chunk + carry), not O(file):
+// buffers are reused across chunks so the first-touch page-fault cost is
+// paid once.  Byte ranges [coff_start, coff_end) enable per-host input
+// sharding: a shard owns exactly the records whose first byte lies in a
+// BGZF block whose file offset is inside the range (the Hadoop-BAM split
+// convention), with heuristic record resync at non-zero starts.
+// ===========================================================================
+namespace {
+
+struct StreamChunk {
+  std::vector<int32_t> ref_id, pos, ref_end, qlen, mapq, flag;
+  std::vector<int32_t> cig_m, cig_i, cig_d, cig_s, cig_eq, cig_x, nm;
+  std::vector<uint64_t> h1, h2;
+  std::vector<int64_t> name_off;  // n+1 when keep_names
+  std::string name_blob;
+};
+
+enum RecCheck { REC_BAD = 0, REC_PENDING = 1, REC_VALID = 2 };
+
+// Validate a candidate record start at p (avail bytes visible).
+static RecCheck validate_one_record(const uint8_t* p, size_t avail,
+                                    int64_t n_ref) {
+  if (avail < 36) return REC_PENDING;
+  uint32_t bs = rd_u32(p);
+  if (bs < 32 || bs > (1u << 26)) return REC_BAD;
+  int32_t refID = rd_i32(p + 4);
+  if (refID < -1 || refID >= (int32_t)n_ref) return REC_BAD;
+  if (rd_i32(p + 8) < -1) return REC_BAD;
+  uint8_t l_read_name = p[12];
+  if (l_read_name == 0) return REC_BAD;
+  uint16_t n_cigar = rd_u16(p + 16);
+  int32_t l_seq = rd_i32(p + 20);
+  if (l_seq < 0) return REC_BAD;
+  int32_t next_refID = rd_i32(p + 24);
+  if (next_refID < -1 || next_refID >= (int32_t)n_ref) return REC_BAD;
+  if (rd_i32(p + 28) < -1) return REC_BAD;
+  uint64_t min_size = 32ull + l_read_name + 4ull * n_cigar +
+                      ((uint64_t)l_seq + 1) / 2 + (uint64_t)l_seq;
+  if (min_size > bs) return REC_BAD;
+  size_t name_end = 36ull + l_read_name;  // NUL included in l_read_name
+  if (avail >= name_end) {
+    if (p[name_end - 1] != 0) return REC_BAD;
+    size_t cig_avail = std::min<size_t>(n_cigar, (avail - name_end) / 4);
+    for (size_t c = 0; c < cig_avail; c++) {
+      if ((rd_u32(p + name_end + 4 * c) & 0xf) > 8) return REC_BAD;
+    }
+  }
+  return avail >= 4ull + bs ? REC_VALID : REC_PENDING;
+}
+
+// Validate a chain of records starting at p.  `min_end_ok` is the number of
+// fully validated records required to accept an end-of-buffer-aligned chain
+// (2 normally; 1 once the file is at EOF so a final short chain can close).
+static RecCheck validate_record_chain(const uint8_t* buf, size_t size,
+                                      size_t p, int64_t n_ref,
+                                      int min_end_ok) {
+  int ok = 0;
+  size_t q = p;
+  while (ok < 3) {
+    if (q == size) return ok >= min_end_ok ? REC_VALID : REC_PENDING;
+    RecCheck v = validate_one_record(buf + q, size - q, n_ref);
+    if (v != REC_VALID) return v;
+    ok++;
+    q += 4ull + rd_u32(buf + q);
+    if (q > size) return REC_BAD;  // block_size overran the buffer
+  }
+  return REC_VALID;
+}
+
+struct BamStream {
+  FILE* f = nullptr;
+  int nthreads = 2;
+  bool keep_names = false;
+  int64_t coff_limit = -1;  // records starting at block coff >= this are not ours
+  size_t chunk_target = 64u << 20;  // inflated bytes per chunk
+  // header
+  std::vector<std::string> ref_names;
+  std::vector<int64_t> ref_lens;
+  std::string header_text;
+  std::string error;
+  // compressed-side state (producer only)
+  std::vector<uint8_t> comp_buf;
+  size_t comp_pos = 0;
+  int64_t comp_base_coff = 0;  // absolute file offset of comp_buf[0]
+  bool file_eof = false;
+  // inflated-side state (producer only)
+  std::vector<uint8_t> infl;   // carry + this chunk's inflated blocks
+  std::vector<uint8_t> carry;  // leftover bytes (partial record / unsynced)
+  // (offset in carry, block coff) map; single entry in synced mode
+  std::vector<std::pair<size_t, int64_t>> carry_map;
+  bool synced = true;          // false until record resync done (range mode)
+  size_t resync_from = 0;      // scan cursor within carry while unsynced
+  bool finished = false;
+  int64_t stop_block_coff = -1;
+  // pipeline
+  std::thread producer;
+  std::mutex mu;
+  std::condition_variable cv_push, cv_pop;
+  std::deque<StreamChunk*> ready;
+  bool producer_done = false;
+  bool closing = false;
+  size_t max_ready = 2;
+
+  ~BamStream() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      closing = true;
+    }
+    cv_push.notify_all();
+    cv_pop.notify_all();
+    if (producer.joinable()) producer.join();
+    for (auto* c : ready) delete c;
+    if (f) fclose(f);
+  }
+};
+
+// Ensure comp_buf holds >= need bytes beyond comp_pos (reads more from the
+// file).  Returns false when EOF prevents it.
+static bool stream_ensure_comp(BamStream* bs, size_t need) {
+  while (bs->comp_buf.size() - bs->comp_pos < need) {
+    if (bs->file_eof) return false;
+    size_t old = bs->comp_buf.size();
+    size_t want = std::max<size_t>(need - (old - bs->comp_pos), 4u << 20);
+    bs->comp_buf.resize(old + want);
+    size_t got = fread(bs->comp_buf.data() + old, 1, want, bs->f);
+    bs->comp_buf.resize(old + got);
+    if (got < want) bs->file_eof = true;
+  }
+  return true;
+}
+
+// Parse the BGZF header at comp_pos.  Returns total block size (0 = EOF /
+// no more blocks, -1 = corrupt).
+static int64_t stream_next_block_size(BamStream* bs) {
+  if (!stream_ensure_comp(bs, 18)) {
+    return bs->comp_buf.size() - bs->comp_pos == 0 ? 0 : -1;
+  }
+  const uint8_t* p = bs->comp_buf.data() + bs->comp_pos;
+  if (!(p[0] == 0x1f && p[1] == 0x8b && p[2] == 8 && (p[3] & 4))) return -1;
+  uint16_t xlen = (uint16_t)(p[10] | (p[11] << 8));
+  if (!stream_ensure_comp(bs, 12ull + xlen)) return -1;
+  p = bs->comp_buf.data() + bs->comp_pos;
+  uint32_t bsize = 0;
+  for (size_t q = 12; q + 4 <= 12ull + xlen;) {
+    uint8_t si1 = p[q], si2 = p[q + 1];
+    uint16_t slen = (uint16_t)(p[q + 2] | (p[q + 3] << 8));
+    if (si1 == 66 && si2 == 67 && slen == 2) {
+      bsize = (uint32_t)(p[q + 4] | (p[q + 5] << 8)) + 1u;
+    }
+    q += 4ull + slen;
+  }
+  if (bsize < 28 || bsize > 65536) return -1;
+  if (!stream_ensure_comp(bs, bsize)) return -1;
+  return (int64_t)bsize;
+}
+
+struct StreamBlock {
+  size_t payload_off;  // into comp_buf
+  uint32_t payload_len;
+  uint32_t isize;
+  int64_t coff;     // absolute file offset of the block start
+  size_t out_off;   // into infl (after carry)
+};
+
+// Build one chunk.  Returns the chunk (possibly empty of records), or null
+// when the stream is finished (EOF / shard boundary) or errored.
+static StreamChunk* stream_build_chunk(BamStream* bs) {
+  if (bs->finished) return nullptr;
+  // compact the compressed buffer
+  if (bs->comp_pos) {
+    bs->comp_buf.erase(bs->comp_buf.begin(),
+                       bs->comp_buf.begin() + bs->comp_pos);
+    bs->comp_base_coff += (int64_t)bs->comp_pos;
+    bs->comp_pos = 0;
+  }
+  // --- gather blocks ---
+  std::vector<StreamBlock> blocks;
+  size_t total_isize = 0;
+  while (total_isize < bs->chunk_target) {
+    int64_t coff = bs->comp_base_coff + (int64_t)bs->comp_pos;
+    if (bs->coff_limit >= 0 && coff >= bs->coff_limit &&
+        bs->stop_block_coff < 0)
+      bs->stop_block_coff = coff;
+    if (bs->stop_block_coff >= 0 && bs->synced && bs->carry.empty() &&
+        blocks.empty()) {
+      // nothing in flight crosses the boundary: the shard is complete
+      bs->finished = true;
+      break;
+    }
+    int64_t bsize = stream_next_block_size(bs);
+    if (bsize < 0) {
+      bs->error = "corrupt BGZF stream";
+      return nullptr;
+    }
+    if (bsize == 0) break;  // file EOF
+    const uint8_t* p = bs->comp_buf.data() + bs->comp_pos;
+    uint16_t xlen = (uint16_t)(p[10] | (p[11] << 8));
+    uint32_t isize = (uint32_t)(p[bsize - 4] | (p[bsize - 3] << 8) |
+                                (p[bsize - 2] << 16) |
+                                ((uint32_t)p[bsize - 1] << 24));
+    StreamBlock b;
+    b.payload_off = bs->comp_pos + 12 + xlen;
+    b.payload_len = (uint32_t)(bsize - 20 - xlen);
+    b.isize = isize;
+    b.coff = coff;
+    b.out_off = total_isize;
+    if (isize) blocks.push_back(b);
+    total_isize += isize;
+    bs->comp_pos += (size_t)bsize;
+  }
+  const size_t carry_len = bs->carry.size();
+  bool final_drain = false;
+  if (blocks.empty() && total_isize == 0) {
+    // no new data: EOF (or shard end hit above)
+    if (bs->finished || bs->carry.empty()) {
+      bs->finished = true;
+      return nullptr;
+    }
+    if (!bs->file_eof || bs->comp_buf.size() - bs->comp_pos != 0) {
+      bs->finished = true;  // defensive: avoid spinning
+      return nullptr;
+    }
+    if (!bs->synced &&
+        validate_record_chain(bs->carry.data(), bs->carry.size(),
+                              bs->resync_from,
+                              (int64_t)bs->ref_names.size(),
+                              1) != REC_VALID) {
+      // never found a record boundary before EOF: empty shard tail
+      bs->finished = true;
+      return nullptr;
+    }
+    // fall through: the walk below drains the carry's complete records
+    final_drain = true;
+  }
+  // --- inflate: infl = carry + blocks ---
+  bs->infl.resize(carry_len + total_isize);
+  if (carry_len) memcpy(bs->infl.data(), bs->carry.data(), carry_len);
+  {
+    std::atomic<size_t> next(0);
+    std::atomic<bool> ok(true);
+    auto worker = [&]() {
+      while (true) {
+        size_t i = next.fetch_add(1);
+        if (i >= blocks.size() || !ok.load()) break;
+        const StreamBlock& b = blocks[i];
+        if (!inflate_raw(bs->comp_buf.data() + b.payload_off, b.payload_len,
+                         bs->infl.data() + carry_len + b.out_off, b.isize))
+          ok.store(false);
+      }
+    };
+    int T = bs->nthreads > 1 ? bs->nthreads : 1;
+    if ((size_t)T > blocks.size()) T = blocks.size() ? (int)blocks.size() : 1;
+    if (T <= 1) {
+      worker();
+    } else {
+      std::vector<std::thread> ts;
+      for (int t = 0; t < T; t++) ts.emplace_back(worker);
+      for (auto& th : ts) th.join();
+    }
+    if (!ok.load()) {
+      bs->error = "BGZF inflate failed";
+      return nullptr;
+    }
+  }
+  const uint8_t* buf = bs->infl.data();
+  const size_t size = bs->infl.size();
+  // offset -> block coff map over the walk buffer
+  std::vector<std::pair<size_t, int64_t>> off2coff;
+  off2coff.reserve(bs->carry_map.size() + blocks.size());
+  for (auto& e : bs->carry_map) off2coff.push_back(e);
+  for (auto& b : blocks)
+    off2coff.emplace_back(carry_len + b.out_off, b.coff);
+  auto coff_of = [&](size_t p) -> int64_t {
+    if (off2coff.empty()) return bs->comp_base_coff;
+    size_t lo = 0, hi = off2coff.size();
+    while (lo + 1 < hi) {
+      size_t mid = (lo + hi) / 2;
+      if (off2coff[mid].first <= p) lo = mid; else hi = mid;
+    }
+    return off2coff[lo].second;
+  };
+  // --- resync (range mode, until the first record boundary is found) ---
+  size_t walk_start = 0;
+  if (!bs->synced) {
+    const int64_t n_ref = (int64_t)bs->ref_names.size();
+    const int min_end_ok = bs->file_eof && blocks.empty() ? 1 : 2;
+    size_t p = bs->resync_from;
+    bool found = false;
+    size_t pend = size;
+    for (; p < size; p++) {
+      RecCheck r = validate_record_chain(buf, size, p, n_ref, min_end_ok);
+      if (r == REC_VALID) {
+        found = true;
+        break;
+      }
+      if (r == REC_PENDING) {
+        pend = p;
+        break;  // need more data before skipping this candidate
+      }
+    }
+    if (!found) {
+      if (bs->file_eof && blocks.empty()) {
+        // end of file, nothing synced: shard had no records
+        bs->finished = true;
+        if (pend < size) bs->error = "truncated BAM record";
+        return nullptr;
+      }
+      // keep [pend, size) (or a 36-byte tail) and scan again with more data
+      size_t keep_from = pend < size ? pend : (size > 36 ? size - 36 : 0);
+      std::vector<std::pair<size_t, int64_t>> nm;
+      for (size_t k = 0; k < off2coff.size(); k++) {
+        size_t s = std::max(off2coff[k].first, keep_from);
+        size_t e2 = k + 1 < off2coff.size() ? off2coff[k + 1].first : size;
+        if (e2 > keep_from && s < e2) nm.emplace_back(s - keep_from, off2coff[k].second);
+      }
+      bs->carry.assign(buf + keep_from, buf + size);
+      bs->carry_map = std::move(nm);
+      bs->resync_from = 0;
+      if (bs->carry.size() > (512u << 20)) {
+        bs->error = "cannot resync BAM records in byte range";
+        return nullptr;
+      }
+      return new StreamChunk();  // empty chunk; caller keeps pulling
+    }
+    walk_start = p;
+    bs->synced = true;
+    bs->resync_from = 0;
+  }
+  // --- walk the record chain ---
+  std::vector<size_t> offs;
+  offs.reserve(total_isize / 300 + 8);
+  size_t p = walk_start;
+  size_t leftover = size;
+  while (p + 4 <= size) {
+    uint32_t block_size = rd_u32(buf + p);
+    if (p + 4ull + block_size > size) break;  // partial record -> carry
+    if (bs->stop_block_coff >= 0 && coff_of(p) >= bs->stop_block_coff) {
+      bs->finished = true;
+      leftover = size;  // discard the rest: it belongs to the next shard
+      p = size;
+      break;
+    }
+    offs.push_back(p);
+    p += 4ull + block_size;
+  }
+  if (p < size && !bs->finished) leftover = p;
+  else if (bs->finished) leftover = size;
+  else leftover = p;
+  // new carry
+  if (leftover < size && !bs->finished) {
+    if (final_drain) {
+      // EOF with a partial record left over: the file is cut short
+      bs->error = "truncated BAM record";
+      return nullptr;
+    }
+    int64_t cc = coff_of(leftover);
+    bs->carry.assign(buf + leftover, buf + size);
+    bs->carry_map.assign(1, {0, cc});
+  } else {
+    bs->carry.clear();
+    bs->carry_map.clear();
+  }
+  if (final_drain) bs->finished = true;
+  // --- parse records into the chunk (parallel ranges) ---
+  auto* ch = new StreamChunk();
+  size_t nrec = offs.size();
+  ch->ref_id.resize(nrec);
+  ch->pos.resize(nrec);
+  ch->ref_end.resize(nrec);
+  ch->qlen.resize(nrec);
+  ch->mapq.resize(nrec);
+  ch->flag.resize(nrec);
+  ch->cig_m.resize(nrec);
+  ch->cig_i.resize(nrec);
+  ch->cig_d.resize(nrec);
+  ch->cig_s.resize(nrec);
+  ch->cig_eq.resize(nrec);
+  ch->cig_x.resize(nrec);
+  ch->nm.resize(nrec);
+  ch->h1.resize(nrec);
+  ch->h2.resize(nrec);
+  std::vector<int64_t> name_lens(bs->keep_names ? nrec : 0);
+  int T = bs->nthreads > 1 ? bs->nthreads : 1;
+  if ((size_t)T > nrec) T = nrec ? (int)nrec : 1;
+  std::vector<std::string> blobs((size_t)T);
+  auto pworker = [&](int t) {
+    size_t lo = nrec * (size_t)t / (size_t)T;
+    size_t hi = nrec * (size_t)(t + 1) / (size_t)T;
+    std::string& blob = blobs[(size_t)t];
+    for (size_t i = lo; i < hi; i++) {
+      RecFields o;
+      parse_record_fields(buf + offs[i] + 4, rd_u32(buf + offs[i]), o);
+      ch->ref_id[i] = o.ref_id;
+      ch->pos[i] = o.pos;
+      ch->ref_end[i] = o.ref_end;
+      ch->qlen[i] = o.qlen;
+      ch->mapq[i] = o.mapq;
+      ch->flag[i] = o.flag;
+      ch->cig_m[i] = o.m;
+      ch->cig_i[i] = o.i;
+      ch->cig_d[i] = o.d;
+      ch->cig_s[i] = o.s;
+      ch->cig_eq[i] = o.eq;
+      ch->cig_x[i] = o.x;
+      ch->nm[i] = o.nm;
+      ch->h1[i] = o.h1;
+      ch->h2[i] = o.h2;
+      if (bs->keep_names) {
+        name_lens[i] = (int64_t)o.rname_len;
+        blob.append(o.rname, o.rname_len);
+      }
+    }
+  };
+  if (T <= 1) {
+    pworker(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < T; t++) ts.emplace_back(pworker, t);
+    for (auto& th : ts) th.join();
+  }
+  if (bs->keep_names) {
+    ch->name_off.resize(nrec + 1);
+    ch->name_off[0] = 0;
+    for (size_t i = 0; i < nrec; i++)
+      ch->name_off[i + 1] = ch->name_off[i] + name_lens[i];
+    size_t tb = 0;
+    for (auto& b : blobs) tb += b.size();
+    ch->name_blob.reserve(tb);
+    for (auto& b : blobs) ch->name_blob += b;
+  }
+  return ch;
+}
+
+static void stream_producer(BamStream* bs) {
+  while (true) {
+    {
+      std::lock_guard<std::mutex> lk(bs->mu);
+      if (bs->closing) break;
+    }
+    StreamChunk* ch = stream_build_chunk(bs);
+    std::unique_lock<std::mutex> lk(bs->mu);
+    if (!ch) break;  // finished or error
+    bs->cv_push.wait(lk, [&] {
+      return bs->ready.size() < bs->max_ready || bs->closing;
+    });
+    if (bs->closing) {
+      delete ch;
+      break;
+    }
+    bs->ready.push_back(ch);
+    bs->cv_pop.notify_one();
+  }
+  {
+    std::lock_guard<std::mutex> lk(bs->mu);
+    bs->producer_done = true;
+  }
+  bs->cv_pop.notify_all();
+}
+
+// Read + parse the BAM header starting at file offset 0.  Leaves leftover
+// inflated record bytes in carry (with block map) when keep_leftover.
+static bool stream_read_header(BamStream* bs, bool keep_leftover) {
+  std::vector<uint8_t> hdr;
+  std::vector<std::pair<size_t, int64_t>> hmap;  // (infl off, block coff)
+  size_t header_end = 0;
+  while (true) {
+    // try to parse with what we have
+    const uint8_t* p = hdr.data();
+    size_t n = hdr.size();
+    bool need_more = false;
+    do {
+      if (n < 12) { need_more = true; break; }
+      if (memcmp(p, "BAM\1", 4) != 0) {
+        bs->error = "not a BAM stream";
+        return false;
+      }
+      int64_t off = 4;
+      int32_t l_text = rd_i32(p + off);
+      off += 4;
+      if ((int64_t)n < off + l_text + 4) { need_more = true; break; }
+      bs->header_text.assign((const char*)p + off, (size_t)l_text);
+      off += l_text;
+      int32_t n_ref = rd_i32(p + off);
+      off += 4;
+      bs->ref_names.clear();
+      bs->ref_lens.clear();
+      bool ok = true;
+      for (int32_t r = 0; r < n_ref; r++) {
+        if ((int64_t)n < off + 4) { ok = false; break; }
+        int32_t l_name = rd_i32(p + off);
+        off += 4;
+        if ((int64_t)n < off + l_name + 4) { ok = false; break; }
+        bs->ref_names.emplace_back((const char*)p + off, (size_t)l_name - 1);
+        off += l_name;
+        bs->ref_lens.push_back(rd_i32(p + off));
+        off += 4;
+      }
+      if (!ok) { need_more = true; break; }
+      header_end = (size_t)off;
+    } while (false);
+    if (!need_more) break;
+    // inflate one more block into hdr
+    int64_t coff = bs->comp_base_coff + (int64_t)bs->comp_pos;
+    int64_t bsize = stream_next_block_size(bs);
+    if (bsize <= 0) {
+      bs->error = "truncated BAM header";
+      return false;
+    }
+    const uint8_t* bp = bs->comp_buf.data() + bs->comp_pos;
+    uint16_t xlen = (uint16_t)(bp[10] | (bp[11] << 8));
+    uint32_t isize = (uint32_t)(bp[bsize - 4] | (bp[bsize - 3] << 8) |
+                                (bp[bsize - 2] << 16) |
+                                ((uint32_t)bp[bsize - 1] << 24));
+    size_t old = hdr.size();
+    hdr.resize(old + isize);
+    if (isize &&
+        !inflate_raw(bp + 12 + xlen, (uint32_t)(bsize - 20 - xlen),
+                     hdr.data() + old, isize)) {
+      bs->error = "BGZF inflate failed in header";
+      return false;
+    }
+    hmap.emplace_back(old, coff);
+    bs->comp_pos += (size_t)bsize;
+  }
+  if (keep_leftover && header_end < hdr.size()) {
+    bs->carry.assign(hdr.begin() + header_end, hdr.end());
+    std::vector<std::pair<size_t, int64_t>> nm;
+    for (size_t k = 0; k < hmap.size(); k++) {
+      size_t s = std::max(hmap[k].first, header_end);
+      size_t e2 = k + 1 < hmap.size() ? hmap[k + 1].first : hdr.size();
+      if (e2 > header_end && s < e2)
+        nm.emplace_back(s - header_end, hmap[k].second);
+    }
+    bs->carry_map = std::move(nm);
+  }
+  return true;
+}
+
+// Scan forward from comp_pos for a BGZF block boundary (magic + valid
+// header chain).  Returns false when none exists before EOF.
+static bool stream_scan_block_boundary(BamStream* bs) {
+  while (true) {
+    stream_ensure_comp(bs, 1u << 20);
+    const uint8_t* p = bs->comp_buf.data();
+    size_t n = bs->comp_buf.size();
+    for (size_t q = bs->comp_pos; q + 18 <= n; q++) {
+      if (!(p[q] == 0x1f && p[q + 1] == 0x8b && p[q + 2] == 8 &&
+            (p[q + 3] & 4)))
+        continue;
+      uint16_t xlen = (uint16_t)(p[q + 10] | (p[q + 11] << 8));
+      if (xlen < 6) continue;
+      uint32_t bsize = 0;
+      bool found = false;
+      if (q + 12ull + xlen > n) break;  // need more data
+      for (size_t e = q + 12; e + 4 <= q + 12ull + xlen;) {
+        uint8_t si1 = p[e], si2 = p[e + 1];
+        uint16_t slen = (uint16_t)(p[e + 2] | (p[e + 3] << 8));
+        if (si1 == 66 && si2 == 67 && slen == 2) {
+          bsize = (uint32_t)(p[e + 4] | (p[e + 5] << 8)) + 1u;
+          found = true;
+        }
+        e += 4ull + slen;
+      }
+      if (!found || bsize < 28 || bsize > 65536) continue;
+      // chain check: the next block must also look like BGZF (or EOF)
+      size_t nq = q + bsize;
+      if (nq == n && bs->file_eof) {
+        bs->comp_pos = q;
+        return true;
+      }
+      if (nq + 18 > n) {
+        if (!bs->file_eof) break;  // need more data
+        continue;
+      }
+      if (p[nq] == 0x1f && p[nq + 1] == 0x8b && p[nq + 2] == 8 &&
+          (p[nq + 3] & 4)) {
+        bs->comp_pos = q;
+        return true;
+      }
+    }
+    if (bs->file_eof) return false;
+    // grow the window: keep scanning from just before the unscanned tail
+    size_t scanned = n > bs->comp_pos + 17 ? n - 17 : bs->comp_pos;
+    size_t old = n;
+    stream_ensure_comp(bs, (n - bs->comp_pos) + (1u << 20));
+    if (bs->comp_buf.size() == old && bs->file_eof) return false;
+    bs->comp_pos = std::min(bs->comp_pos, scanned);
+  }
+}
+
+}  // namespace
+
+GCI_API void* gci_bam_stream_open(const char* path, int nthreads,
+                                  int keep_names, int64_t coff_start,
+                                  int64_t coff_end, int64_t chunk_bytes) {
+  auto* bs = new BamStream();
+  bs->nthreads = nthreads > 0 ? nthreads : 1;
+  bs->keep_names = keep_names != 0;
+  if (chunk_bytes > 0) bs->chunk_target = (size_t)chunk_bytes;
+  bs->f = fopen(path, "rb");
+  if (!bs->f) {
+    bs->error = "cannot open file";
+    return bs;
+  }
+  fseek(bs->f, 0, SEEK_END);
+  int64_t fsize = ftell(bs->f);
+  fseek(bs->f, 0, SEEK_SET);
+  if (coff_end >= 0 && coff_end < fsize) bs->coff_limit = coff_end;
+  // header always comes from offset 0 (every shard needs the ref table)
+  if (!stream_read_header(bs, coff_start <= 0)) return bs;
+  if (coff_start > 0) {
+    if (coff_start >= fsize) {
+      bs->finished = true;
+    } else {
+      // jump to the shard: reset compressed state, find a block boundary,
+      // then resync to the first record that starts at/after it
+      bs->comp_buf.clear();
+      bs->comp_pos = 0;
+      bs->comp_base_coff = coff_start;
+      bs->file_eof = false;
+      fseek(bs->f, (long)coff_start, SEEK_SET);
+      bs->carry.clear();
+      bs->carry_map.clear();
+      if (!stream_scan_block_boundary(bs)) {
+        bs->finished = true;  // no blocks in range
+      } else {
+        bs->synced = false;
+      }
+    }
+  }
+  bs->producer = std::thread(stream_producer, bs);
+  return bs;
+}
+
+GCI_API void gci_bam_stream_free(void* h) { delete (BamStream*)h; }
+GCI_API const char* gci_bam_stream_error(void* h) {
+  auto* bs = (BamStream*)h;
+  std::lock_guard<std::mutex> lk(bs->mu);
+  return bs->error.empty() ? nullptr : bs->error.c_str();
+}
+GCI_API int64_t gci_bam_stream_num_refs(void* h) {
+  return (int64_t)((BamStream*)h)->ref_names.size();
+}
+GCI_API const char* gci_bam_stream_ref_name(void* h, int64_t i) {
+  return ((BamStream*)h)->ref_names[(size_t)i].c_str();
+}
+GCI_API int64_t gci_bam_stream_ref_len(void* h, int64_t i) {
+  return ((BamStream*)h)->ref_lens[(size_t)i];
+}
+GCI_API int64_t gci_bam_stream_header_text_size(void* h) {
+  return (int64_t)((BamStream*)h)->header_text.size();
+}
+GCI_API void gci_bam_stream_copy_header_text(void* h, uint8_t* out) {
+  auto* bs = (BamStream*)h;
+  if (!bs->header_text.empty())
+    memcpy(out, bs->header_text.data(), bs->header_text.size());
+}
+
+// Pop the next chunk (blocking).  NULL = end of stream; check
+// gci_bam_stream_error to distinguish EOF from failure.
+GCI_API void* gci_bam_stream_next(void* h) {
+  auto* bs = (BamStream*)h;
+  std::unique_lock<std::mutex> lk(bs->mu);
+  bs->cv_pop.wait(lk, [&] {
+    return !bs->ready.empty() || bs->producer_done || bs->closing;
+  });
+  if (!bs->ready.empty()) {
+    StreamChunk* c = bs->ready.front();
+    bs->ready.pop_front();
+    bs->cv_push.notify_one();
+    return c;
+  }
+  return nullptr;
+}
+
+GCI_API void gci_chunk_free(void* h) { delete (StreamChunk*)h; }
+GCI_API int64_t gci_chunk_num_records(void* h) {
+  return (int64_t)((StreamChunk*)h)->ref_id.size();
+}
+GCI_API void gci_chunk_copy_columns(void* h, int32_t* ref_id, int32_t* pos,
+                                    int32_t* ref_end, int32_t* qlen,
+                                    int32_t* mapq, int32_t* flag, int32_t* m,
+                                    int32_t* i_, int32_t* d, int32_t* s,
+                                    int32_t* eq, int32_t* x, int32_t* nm,
+                                    uint64_t* h1, uint64_t* h2) {
+  auto* c = (StreamChunk*)h;
+  size_t n = c->ref_id.size();
+  auto cp = [n](int32_t* dst, const std::vector<int32_t>& src) {
+    if (dst && n) memcpy(dst, src.data(), n * sizeof(int32_t));
+  };
+  cp(ref_id, c->ref_id);
+  cp(pos, c->pos);
+  cp(ref_end, c->ref_end);
+  cp(qlen, c->qlen);
+  cp(mapq, c->mapq);
+  cp(flag, c->flag);
+  cp(m, c->cig_m);
+  cp(i_, c->cig_i);
+  cp(d, c->cig_d);
+  cp(s, c->cig_s);
+  cp(eq, c->cig_eq);
+  cp(x, c->cig_x);
+  cp(nm, c->nm);
+  if (h1 && n) memcpy(h1, c->h1.data(), n * sizeof(uint64_t));
+  if (h2 && n) memcpy(h2, c->h2.data(), n * sizeof(uint64_t));
+}
+GCI_API int64_t gci_chunk_name_blob_size(void* h) {
+  return (int64_t)((StreamChunk*)h)->name_blob.size();
+}
+GCI_API void gci_chunk_copy_names(void* h, uint8_t* blob, int64_t* offs) {
+  auto* c = (StreamChunk*)h;
+  if (blob && !c->name_blob.empty())
+    memcpy(blob, c->name_blob.data(), c->name_blob.size());
+  if (offs && !c->name_off.empty())
+    memcpy(offs, c->name_off.data(), c->name_off.size() * sizeof(int64_t));
 }

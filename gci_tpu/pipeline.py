@@ -30,7 +30,6 @@ from gci_tpu.filters import (
     paf_filter_mask,
 )
 from gci_tpu.filters.cascade import high_qual_keys
-from gci_tpu.io.bam import read_bam
 from gci_tpu.io.depth_file import write_depth_gz
 from gci_tpu.io.fasta import mask_gaps_in_depths, scan_fasta
 from gci_tpu.io.names import hash_names, keys_view
@@ -64,24 +63,39 @@ def run_filter(
     mesh=None,
     gaps=None,
     threshold: int = 0,
+    comp_ranges: dict[str, tuple[int, int]] | None = None,
 ) -> tuple[dict[str, np.ndarray], dict[str, int]]:
     """Filter alignments of one read type into per-base depth (GCI.py:172-312).
 
     ``gaps``/``threshold`` feed the fused device backend so one kernel pass
     can pre-extract the run's issue edges; other backends ignore them (gap
     masking stays a separate pipeline stage, exactly as in the reference).
+    ``comp_ranges`` maps a BAM path to this host's compressed byte range —
+    the per-host input shard on multi-host runs (records parsed only once
+    cluster-wide; survivors are reconciled by an allgather before curation).
     """
     _require_writable(f"{directory}/{prefix}.depth.gz", force)
     print(f"Filtering {log_reads_type} alignment files ...")
 
-    with stage(f"{log_reads_type}:bam_pack:{bam_files[0]}"):
-        bam0 = read_bam(bam_files[0], threads=threads, keep_names=False)
+    from gci_tpu.io.bam import BamStream
+
+    chunk_bytes = int(os.environ.get("GCI_BAM_CHUNK_BYTES", 64 << 20))
+    streams = [
+        BamStream(
+            path, threads=threads, keep_names=False,
+            comp_range=comp_ranges.get(path) if comp_ranges else None,
+            chunk_bytes=chunk_bytes,
+        )
+        for path in bam_files
+    ]
     if chrs_list:
         targets_length = {
-            r: l for r, l in zip(bam0.references, bam0.lengths) if r in chrs_list
+            r: l
+            for r, l in zip(streams[0].references, streams[0].lengths)
+            if r in chrs_list
         }
     else:
-        targets_length = bam0.targets_length()
+        targets_length = streams[0].targets_length()
     target_ids = {name: k for k, name in enumerate(targets_length)}
     layout = GenomeLayout.from_targets(targets_length)
 
@@ -117,35 +131,63 @@ def run_filter(
                 )
             )
 
-    # --- BAM branch (GCI.py:257-270): full-file scan, vectorized cascade
-    for path in bam_files:
-        if path == bam_files[0]:
-            bam = bam0
+    # --- BAM branch (GCI.py:257-270): streamed scan, vectorized cascade.
+    # Each chunk is filtered + compacted while the native producer inflates
+    # the next one (pack <-> filter overlap); the last-wins name dedup runs
+    # over the concatenated per-chunk survivors, which preserves file order
+    # across chunk borders and so matches the reference's whole-file dict
+    # semantics (GCI.py:166).
+    for path, stream in zip(bam_files, streams):
+        with stage(f"{log_reads_type}:bam_pack:{path}"), stream:
+            # map this file's ref ids onto the (possibly chrs-restricted) table
+            local_to_global = np.full(
+                len(stream.references) + 1, -1, dtype=np.int32
+            )
+            for k, name in enumerate(stream.references):
+                if name in target_ids:
+                    local_to_global[k] = target_ids[name]
+            cand_parts: list[tuple[np.ndarray, ...]] = []
+            for chunk in stream:
+                ref_id = chunk.columns["ref_id"]
+                valid_ref = (ref_id >= 0) & (ref_id < len(stream.references))
+                gtid = np.where(
+                    valid_ref, local_to_global[np.clip(ref_id, 0, None)], -1
+                )
+                mask = (gtid >= 0) & bam_filter_mask(
+                    chunk.columns, map_qual, clip_percent, iden_percent
+                )
+                hq_parts.append(
+                    high_qual_keys(
+                        chunk.name_keys, mask, chunk.columns["mapq"], mq_cutoff
+                    )
+                )
+                idx = np.flatnonzero(mask)
+                if idx.size:
+                    cand_parts.append((
+                        chunk.name_keys[idx],
+                        gtid[idx].astype(np.int32),
+                        chunk.columns["pos"][idx].astype(np.int64),
+                        chunk.columns["ref_end"][idx].astype(np.int64),
+                        chunk.columns["qlen"][idx].astype(np.int64),
+                    ))
+        if cand_parts:
+            keys = np.concatenate([p[0] for p in cand_parts])
+            tid = np.concatenate([p[1] for p in cand_parts])
+            start = np.concatenate([p[2] for p in cand_parts])
+            end = np.concatenate([p[3] for p in cand_parts])
+            qlen = np.concatenate([p[4] for p in cand_parts])
         else:
-            with stage(f"{log_reads_type}:bam_pack:{path}"):
-                bam = read_bam(path, threads=threads, keep_names=False)
-        # map this file's ref ids onto the (possibly chrs-restricted) table
-        local_to_global = np.full(len(bam.references) + 1, -1, dtype=np.int32)
-        for k, name in enumerate(bam.references):
-            if name in target_ids:
-                local_to_global[k] = target_ids[name]
-        ref_id = bam.columns["ref_id"]
-        valid_ref = (ref_id >= 0) & (ref_id < len(bam.references))
-        gtid = np.where(valid_ref, local_to_global[np.clip(ref_id, 0, None)], -1)
-        mask = (gtid >= 0) & bam_filter_mask(
-            bam.columns, map_qual, clip_percent, iden_percent
-        )
-        hq_parts.append(
-            high_qual_keys(bam.name_keys, mask, bam.columns["mapq"], mq_cutoff)
-        )
-        survivors = dedup_last_wins(bam.name_keys, mask)
+            keys = np.empty((0, 2), dtype=np.uint64)
+            tid = np.empty(0, dtype=np.int32)
+            start = end = qlen = np.empty(0, dtype=np.int64)
+        survivors = dedup_last_wins(keys, np.ones(keys.shape[0], dtype=bool))
         curation_inputs.append(
             CurationInput(
-                name_keys=bam.name_keys[survivors],
-                target_id=gtid[survivors],
-                start=bam.columns["pos"][survivors].astype(np.int64),
-                end=bam.columns["ref_end"][survivors].astype(np.int64),
-                qlen=bam.columns["qlen"][survivors].astype(np.int64),
+                name_keys=keys[survivors],
+                target_id=tid[survivors],
+                start=start[survivors],
+                end=end[survivors],
+                qlen=qlen[survivors],
             )
         )
 

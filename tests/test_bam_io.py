@@ -111,3 +111,128 @@ def test_native_paf_matches_python(tmp_path):
     for f in ("qlen", "qstart", "qend", "tstart", "tend", "nmatch", "alnlen", "mapq"):
         np.testing.assert_array_equal(getattr(a, f), getattr(b, f), err_msg=f)
     np.testing.assert_array_equal(a.name_keys, b.name_keys)
+
+
+# ---------------------------------------------------------------------------
+# streaming reader
+# ---------------------------------------------------------------------------
+
+
+def _concat_chunks(chunks):
+    import numpy as np
+
+    cols = {
+        k: np.concatenate([c.columns[k] for c in chunks])
+        if chunks
+        else np.empty(0, dtype=np.int32)
+        for k in (
+            "ref_id", "pos", "ref_end", "qlen", "mapq", "flag",
+            "m", "i", "d", "s", "eq", "x", "nm",
+        )
+    }
+    keys = (
+        np.concatenate([c.name_keys for c in chunks])
+        if chunks
+        else np.empty((0, 2), dtype=np.uint64)
+    )
+    names = [n for c in chunks for n in (c.names or [])]
+    return cols, keys, names
+
+
+@pytest.fixture(scope="module")
+def big_bam(tmp_path_factory):
+    from tests.fixtures import random_reads
+
+    p = str(tmp_path_factory.mktemp("stream") / "big.bam")
+    rng = np.random.default_rng(11)
+    refs = ["c1", "c2", "c3"]
+    lens = [40000, 25000, 15000]
+    reads = random_reads(rng, refs, lens, 3000, name_prefix="s")
+    # duplicate some names so last-wins dedup crosses chunk borders
+    for k in range(0, 3000, 97):
+        reads[k]["name"] = f"dup{k % 13}"
+    make_bam(p, refs, lens, reads)
+    return p
+
+
+def test_stream_matches_whole_file(big_bam):
+    from gci_tpu.io.bam import BamStream
+
+    whole = read_bam(big_bam, keep_names=True)
+    with BamStream(big_bam, threads=2, keep_names=True, chunk_bytes=1 << 14) as st:
+        assert st.references == whole.references
+        assert st.lengths == whole.lengths
+        assert st.header_text == whole.header_text
+        chunks = list(st)
+    assert len(chunks) > 3  # really streamed
+    cols, keys, names = _concat_chunks(chunks)
+    for k in whole.columns:
+        np.testing.assert_array_equal(cols[k], whole.columns[k], err_msg=k)
+    np.testing.assert_array_equal(keys, whole.name_keys)
+    assert names == whole.names
+
+
+@pytest.mark.parametrize("n_shards,seed", [(2, 0), (3, 1), (5, 2)])
+def test_stream_comp_range_shards_partition(big_bam, n_shards, seed):
+    """Byte-range shards partition the record stream exactly (the per-host
+    input shard invariant): arbitrary split offsets, incl. mid-block and
+    mid-record, never lose or duplicate a record."""
+    import os
+
+    from gci_tpu.io.bam import BamStream
+
+    whole = read_bam(big_bam, keep_names=True)
+    fsize = os.path.getsize(big_bam)
+    rng = np.random.default_rng(seed)
+    cuts = sorted(int(rng.integers(1, fsize)) for _ in range(n_shards - 1))
+    bounds = [0] + cuts + [fsize]
+    parts = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        with BamStream(
+            big_bam, threads=2, keep_names=True, comp_range=(lo, hi),
+            chunk_bytes=1 << 15,
+        ) as st:
+            parts.extend(list(st))
+    cols, keys, names = _concat_chunks(parts)
+    for k in whole.columns:
+        np.testing.assert_array_equal(cols[k], whole.columns[k], err_msg=k)
+    assert names == whole.names
+
+
+def test_stream_truncated_file_errors(big_bam, tmp_path):
+    from gci_tpu.io.bam import BamStream
+
+    data = open(big_bam, "rb").read()
+    # cut inside the record stream: drop the BGZF EOF marker + some payload
+    p = str(tmp_path / "cut.bam")
+    with open(p, "wb") as f:
+        f.write(data[: len(data) - 100])
+    with pytest.raises(ValueError):
+        with BamStream(p, threads=2, chunk_bytes=1 << 15) as st:
+            list(st)
+
+
+def test_run_filter_chunked_matches_whole(big_bam, tmp_path, monkeypatch):
+    """The chunked filter path (tiny chunks -> cross-border dedup) produces
+    the same depths as one-shot whole-file filtering (GCI.py:166 dict
+    semantics)."""
+    from gci_tpu.pipeline import run_filter
+
+    out1 = tmp_path / "whole"
+    out2 = tmp_path / "chunked"
+    out1.mkdir()
+    out2.mkdir()
+    depths1, tl1 = run_filter(
+        [], [big_bam], "t", directory=str(out1), force=True,
+        depth_backend="numpy", log_reads_type="HiFi",
+    )
+    monkeypatch.setenv("GCI_BAM_CHUNK_BYTES", str(1 << 14))
+    depths2, tl2 = run_filter(
+        [], [big_bam], "t", directory=str(out2), force=True,
+        depth_backend="numpy", log_reads_type="HiFi",
+    )
+    assert tl1 == tl2
+    assert set(depths1) == set(depths2)
+    for t in depths1:
+        np.testing.assert_array_equal(depths1[t], depths2[t])
+    assert (out1 / "t.depth.gz").read_bytes() == (out2 / "t.depth.gz").read_bytes()
