@@ -95,6 +95,71 @@ def process_count() -> int:
     return jax.process_count()
 
 
+def input_comp_range(path: str) -> tuple[int, int]:
+    """This process's compressed byte range of a shared BAM file.
+
+    The per-host input shard (SURVEY.md §2.3 row 1, generalizing the
+    reference's (target, window) task split GCI.py:260-270 across hosts):
+    the file's compressed bytes are cut into ``process_count`` equal
+    ranges; ``BamStream(comp_range=...)`` turns a range into exactly the
+    records whose first byte lies in a BGZF block starting inside it, so
+    the ranges partition the record stream with no overlap or loss and
+    each host inflates+parses only ~1/H of the file.
+    """
+    import os
+
+    import jax
+
+    fsize = os.path.getsize(path)
+    h, H = jax.process_index(), jax.process_count()
+    lo = fsize * h // H
+    hi = fsize * (h + 1) // H if h < H - 1 else fsize
+    return lo, hi
+
+
+def allgather_concat(arrays: list):
+    """Concatenate per-process row arrays across processes in process order.
+
+    Host-side variable-length allgather (pad to the global max, gather,
+    trim): used to reconcile each host's packed-record shard into the
+    file-ordered global candidate list before name-keyed dedup/curation.
+    Every process must call this with the same number of arrays.
+    """
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    n_local = int(arrays[0].shape[0])
+    lens = np.asarray(
+        multihost_utils.process_allgather(
+            np.asarray([n_local], dtype=np.int32)
+        )
+    ).reshape(-1)
+    m = int(lens.max()) if lens.size else 0
+    out = []
+    for a in arrays:
+        a = np.ascontiguousarray(a)
+        trailing = a.shape[1:]
+        if m == 0:
+            out.append(a[:0])
+            continue
+        # gather raw bytes: JAX would silently downcast 64-bit dtypes with
+        # x64 disabled, corrupting hash keys/coordinates
+        row_bytes = a.dtype.itemsize * int(np.prod(trailing, dtype=np.int64))
+        b = a.view(np.uint8).reshape(n_local, row_bytes)
+        if m > n_local:
+            b = np.concatenate(
+                [b, np.zeros((m - n_local, row_bytes), dtype=np.uint8)]
+            )
+        g = np.asarray(multihost_utils.process_allgather(b))
+        cat = np.concatenate(
+            [g[h, : lens[h]] for h in range(lens.shape[0])]
+        )
+        out.append(
+            np.ascontiguousarray(cat).view(a.dtype).reshape((-1,) + trailing)
+        )
+    return out
+
+
 def is_primary_host() -> bool:
     """True on the process that owns file writes (process 0).
 

@@ -78,6 +78,18 @@ def run_filter(
     print(f"Filtering {log_reads_type} alignment files ...")
 
     from gci_tpu.io.bam import BamStream
+    from gci_tpu.parallel.distributed import (
+        allgather_concat,
+        input_comp_range,
+        process_count,
+    )
+
+    # multi-host: each process inflates/parses only its compressed byte
+    # range of every shared BAM; the tiny packed survivors are reconciled
+    # below by a host allgather, so the dominant pack stage scales ~1/H
+    multihost = process_count() > 1
+    if comp_ranges is None and multihost:
+        comp_ranges = {path: input_comp_range(path) for path in bam_files}
 
     chunk_bytes = int(os.environ.get("GCI_BAM_CHUNK_BYTES", 64 << 20))
     streams = [
@@ -137,8 +149,10 @@ def run_filter(
     # over the concatenated per-chunk survivors, which preserves file order
     # across chunk borders and so matches the reference's whole-file dict
     # semantics (GCI.py:166).
+    empty_hq = np.empty(0, dtype=[("a", np.uint64), ("b", np.uint64)])
     for path, stream in zip(bam_files, streams):
-        with stage(f"{log_reads_type}:bam_pack:{path}"), stream:
+        hq_file_parts: list[np.ndarray] = []
+        with stage(f"{log_reads_type}:bam_pack:{path}") as pack_stage, stream:
             # map this file's ref ids onto the (possibly chrs-restricted) table
             local_to_global = np.full(
                 len(stream.references) + 1, -1, dtype=np.int32
@@ -147,7 +161,9 @@ def run_filter(
                 if name in target_ids:
                     local_to_global[k] = target_ids[name]
             cand_parts: list[tuple[np.ndarray, ...]] = []
+            n_packed = 0
             for chunk in stream:
+                n_packed += chunk.n_records
                 ref_id = chunk.columns["ref_id"]
                 valid_ref = (ref_id >= 0) & (ref_id < len(stream.references))
                 gtid = np.where(
@@ -156,7 +172,7 @@ def run_filter(
                 mask = (gtid >= 0) & bam_filter_mask(
                     chunk.columns, map_qual, clip_percent, iden_percent
                 )
-                hq_parts.append(
+                hq_file_parts.append(
                     high_qual_keys(
                         chunk.name_keys, mask, chunk.columns["mapq"], mq_cutoff
                     )
@@ -170,6 +186,8 @@ def run_filter(
                         chunk.columns["ref_end"][idx].astype(np.int64),
                         chunk.columns["qlen"][idx].astype(np.int64),
                     ))
+            pack_stage.items = n_packed
+            pack_stage.unit = "records"
         if cand_parts:
             keys = np.concatenate([p[0] for p in cand_parts])
             tid = np.concatenate([p[1] for p in cand_parts])
@@ -180,6 +198,22 @@ def run_filter(
             keys = np.empty((0, 2), dtype=np.uint64)
             tid = np.empty(0, dtype=np.int32)
             start = end = qlen = np.empty(0, dtype=np.int64)
+        nonempty_hq = [p for p in hq_file_parts if p.size]
+        hq_file = (
+            np.unique(np.concatenate(nonempty_hq)) if nonempty_hq else empty_hq
+        )
+        if multihost:
+            # reconcile the host shards: process order == file order, so the
+            # gathered concatenation reproduces the whole-file record order
+            # and the last-wins dedup below stays exact (GCI.py:166)
+            keys, tid, start, end, qlen = allgather_concat(
+                [keys, tid, start, end, qlen]
+            )
+            (hq_gathered,) = allgather_concat(
+                [np.ascontiguousarray(hq_file).view(np.uint64).reshape(-1, 2)]
+            )
+            hq_file = np.unique(keys_view(hq_gathered)) if hq_gathered.size else empty_hq
+        hq_parts.append(hq_file)
         survivors = dedup_last_wins(keys, np.ones(keys.shape[0], dtype=bool))
         curation_inputs.append(
             CurationInput(

@@ -54,12 +54,18 @@ def get_metrics() -> StageMetrics:
 
 @contextlib.contextmanager
 def stage(name: str, items: int | None = None, unit: str = ""):
-    """Time a pipeline stage; records even when profiling output is off."""
+    """Time a pipeline stage; records even when profiling output is off.
+
+    Yields the StageRecord so streaming stages can set ``items``/``unit``
+    once the count is known (e.g. records packed per host shard).
+    """
+    rec = StageRecord(name, 0.0, items, unit)
     t0 = time.perf_counter()
     try:
-        yield
+        yield rec
     finally:
-        _METRICS.add(name, time.perf_counter() - t0, items, unit)
+        rec.seconds = time.perf_counter() - t0
+        _METRICS.records.append(rec)
 
 
 @contextlib.contextmanager
