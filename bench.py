@@ -371,12 +371,21 @@ def main():
     }
     # real-hardware parity: the TPU-executed backend must produce the SAME
     # bytes as the host events backend (the writer is deterministic, so any
-    # kernel divergence shows up here, on the real chip, every round)
-    mismatched = [
-        f for f in ("B.depth.gz", "B.0.depth.bed", "B.gci")
-        if open(os.path.join(E2E_DIR, "out_events", f), "rb").read()
-        != open(os.path.join(E2E_DIR, "out_device", f), "rb").read()
-    ]
+    # kernel divergence shows up here, on the real chip, every round).
+    # A missing output counts as a mismatch rather than aborting the bench.
+    def _read_or_none(p):
+        try:
+            with open(p, "rb") as f:
+                return f.read()
+        except OSError:
+            return None
+
+    mismatched = []
+    for f in ("B.depth.gz", "B.0.depth.bed", "B.gci"):
+        a = _read_or_none(os.path.join(E2E_DIR, "out_events", f))
+        b = _read_or_none(os.path.join(E2E_DIR, "out_device", f))
+        if a is None or b is None or a != b:
+            mismatched.append(f)
     e2e["device_output_parity"] = not mismatched
     if mismatched:
         e2e["device_output_mismatches"] = mismatched

@@ -118,7 +118,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--device", dest="depth_backend", metavar="STR",
         choices=["auto", "device", "numpy", "events", "sharded", "streamed"],
         default="auto",
-        help="Per-base depth backend: auto (TPU when available), device "
+        help="Per-base depth backend: auto (device when a colocated TPU is "
+        "attached — a dispatch-latency probe rules out tunneled/remote "
+        "chips where per-call overhead dominates — else events), device "
         "(single chip, fused kernel; auto-streams past HBM), numpy, events "
         "(O(reads) event-space — no per-base arrays; fastest on host, "
         "identical outputs), sharded (multi-chip: genome axis sharded over "

@@ -77,6 +77,11 @@ def run_filter(
     _require_writable(f"{directory}/{prefix}.depth.gz", force)
     print(f"Filtering {log_reads_type} alignment files ...")
 
+    if depth_backend == "auto":
+        from gci_tpu.depth import resolve_auto_backend
+
+        depth_backend = resolve_auto_backend()
+
     from gci_tpu.io.bam import BamStream
     from gci_tpu.parallel.distributed import (
         allgather_concat,
@@ -241,16 +246,12 @@ def run_filter(
     with stage(
         f"{log_reads_type}:depth_accumulate", items=int(curated.start.shape[0]), unit="reads"
     ):
-        # "auto" = event-space: the per-read piecewise-constant form is the
-        # O(reads) algorithm for this flow (reads ≪ bases, and e2e is
-        # bam_pack-bound regardless).  Recorded crossover (BENCH_r02,
-        # 500Mbp/250k reads): backend-dependent stages ~4.5s events vs ~16s
-        # device, where the device cost is per-call dispatch through the
-        # remote-TPU tunnel, not kernel time (fused pass = 42ms/0.5G slots);
-        # on a colocated TPU host "device" is the right default and "auto"
-        # should be revisited.  "device"/"sharded"/"streamed" force the
-        # accelerator paths; "numpy" is the host oracle.
-        if depth_backend in ("events", "auto"):
+        # "auto" resolved above (gci_tpu.depth.resolve_auto_backend):
+        # device on a colocated TPU, events otherwise.  "events" is the
+        # O(reads) event-space form (no per-base arrays); "device"/
+        # "sharded"/"streamed" force the accelerator paths; "numpy" is the
+        # host oracle.
+        if depth_backend == "events":
             from gci_tpu.depth.eventspace import events_dict_from_reads
 
             depths = events_dict_from_reads(

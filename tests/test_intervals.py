@@ -114,7 +114,10 @@ def test_complement_explicit_window():
 
 
 def test_event_space_collapse_matches_per_base(rng):
-    from gci_tpu.intervals.events import collapse_depth_runs_from_events
+    from gci_tpu.depth.eventspace import DepthEvents
+
+    def collapse_depth_runs_from_events(s, e, L, lo, hi, flank, start_pos):
+        return DepthEvents.from_reads(s, e, L).collapse(lo, hi, flank, start_pos)
 
     for trial in range(60):
         L = int(rng.integers(1, 300))

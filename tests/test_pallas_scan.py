@@ -44,3 +44,43 @@ def test_fused_scan_large_magnitude_deltas(rng):
     valid = np.ones(total, dtype=np.int8)
     depth, rise, fall = fused_depth_scan(delta, valid, -1, 0, rows=rows, interpret=True)
     np.testing.assert_array_equal(np.asarray(depth), np.cumsum(delta).astype(np.int32))
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("GCI_TPU_TESTS") != "1",
+    reason="compiled-kernel exactness needs a real TPU; set GCI_TPU_TESTS=1",
+)
+def test_fused_scan_large_magnitude_deltas_compiled_tpu(tmp_path):
+    """The hi/lo 16-bit split exactness on the COMPILED kernel (not
+    interpret mode): the riskiest part of the MXU lane-scan runs on real
+    hardware.  Opt-in because the test session pins JAX to CPU and a cold
+    Mosaic compile can take minutes; run in a clean subprocess that keeps
+    the environment's default (TPU) platform."""
+    import os
+    import subprocess
+    import sys
+
+    script = tmp_path / "tpu_check.py"
+    script.write_text(
+        "import numpy as np\n"
+        "from gci_tpu.utils.jaxcache import enable_compile_cache\n"
+        "from gci_tpu.depth.pallas_scan import LANES, fused_depth_scan\n"
+        "enable_compile_cache()\n"
+        "rng = np.random.default_rng(7)\n"
+        "rows = 8\n"
+        "total = 2 * rows * LANES\n"
+        "delta = rng.integers(-(2**23), 2**23, size=total).astype(np.int32)\n"
+        "valid = np.ones(total, dtype=np.int8)\n"
+        "depth, rise, fall = fused_depth_scan(delta, valid, -1, 0, rows=rows)\n"
+        "np.testing.assert_array_equal(\n"
+        "    np.asarray(depth), np.cumsum(delta).astype(np.int32))\n"
+        "print('TPU_COMPILED_OK')\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, str(script)], env=env, cwd=repo,
+        capture_output=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr.decode(errors="replace")[-3000:]
+    assert b"TPU_COMPILED_OK" in r.stdout

@@ -51,3 +51,42 @@ def test_accumulate_depth_device_backend_matches_numpy(rng):
     want = accumulate_depth_numpy(layout, tid, start, end, 15)
     got = accumulate_depth(layout, tid, start, end, 15, backend="numpy")
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# auto backend resolution
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_auto_backend_host_only():
+    from gci_tpu.depth import resolve_auto_backend
+
+    assert resolve_auto_backend(default_backend="cpu") == "events"
+
+
+def test_resolve_auto_backend_colocated_tpu():
+    from gci_tpu.depth import resolve_auto_backend
+
+    assert (
+        resolve_auto_backend(default_backend="tpu", dispatch_latency=0.0003)
+        == "device"
+    )
+
+
+def test_resolve_auto_backend_tunneled_tpu():
+    from gci_tpu.depth import resolve_auto_backend
+
+    assert (
+        resolve_auto_backend(default_backend="tpu", dispatch_latency=0.02)
+        == "events"
+    )
+
+
+def test_resolve_auto_backend_env_override(monkeypatch):
+    from gci_tpu.depth import resolve_auto_backend
+
+    monkeypatch.setenv("GCI_AUTO_BACKEND", "numpy")
+    assert (
+        resolve_auto_backend(default_backend="tpu", dispatch_latency=0.0001)
+        == "numpy"
+    )
