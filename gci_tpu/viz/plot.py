@@ -20,13 +20,25 @@ import numpy as np
 
 
 def sliding_window_average(
-    depths: np.ndarray,
+    depths,
     window_size: int = 50000,
     max_depth: float | None = None,
     start: int = 0,
     target: str | None = None,
 ) -> tuple[list[float], np.ndarray]:
-    """(positions_mb, averaged_depths) with reference semantics (GCI.py:660-705)."""
+    """(positions_mb, averaged_depths) with reference semantics (GCI.py:660-705).
+
+    Accepts a per-base array or a :class:`DepthEvents`; the event-space form
+    computes the identical points from run boundaries alone (O(runs +
+    windows + zero bases)), so plotting after ``streamed``/``sharded`` runs
+    never materializes a per-base genome array.
+    """
+    from gci_tpu.depth.eventspace import DepthEvents
+
+    if isinstance(depths, DepthEvents):
+        return _sliding_window_average_events(
+            depths, window_size, max_depth, start, target
+        )
     depths = np.asarray(depths)
     n = depths.shape[0]
     if n < window_size:
@@ -75,6 +87,93 @@ def sliding_window_average(
             s = cs[b] - cs[b - rem]
             events_pos.append(np.array([b - 1], dtype=np.float64))
             events_val.append(np.array([s / rem]))
+
+    pos = np.concatenate(events_pos)
+    val = np.concatenate(events_val)
+    order = np.argsort(pos, kind="stable")
+    pos = pos[order]
+    val = val[order]
+    if max_depth is not None:
+        val = np.minimum(val, max_depth)
+    return ((pos + start) / 1e6).tolist(), val
+
+
+def _sliding_window_average_events(
+    ev,
+    window_size: int,
+    max_depth: float | None,
+    start: int,
+    target: str | None,
+) -> tuple[list[float], np.ndarray]:
+    """Event-space twin of :func:`sliding_window_average` (bit-identical).
+
+    Window sums come from the exact integral of the piecewise-constant
+    depth (int64 arithmetic, same values as the per-base cumsum); zero
+    bases and segment boundaries come from the run list.
+    """
+    n = ev.length
+    if n < window_size:
+        print(
+            f"Warning!!! The length ({n}) of plotting region "
+            f"({target}:{start}-{start + n}) is less than the window size "
+            f"({window_size}), and therefore the window size will be 1 bp",
+            file=sys.stderr,
+        )
+        window_size = 1
+    if n == 0:
+        return [], np.array([])
+
+    vals_r, counts_r = ev.run_lengths()
+    b = ev.boundaries
+    ends_r = b + counts_r
+    cumw = np.concatenate(([0], np.cumsum(vals_r * counts_r)))
+
+    def integral(x: np.ndarray) -> np.ndarray:
+        """S(x) = sum(depth[0:x]) for x in [0, n], exact int64."""
+        r = np.searchsorted(b, x, side="right") - 1
+        return cumw[r] + (x - b[r]) * vals_r[r]
+
+    zmask = vals_r == 0
+    zlens = counts_r[zmask]
+    if zlens.size:
+        offs = np.arange(int(zlens.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(zlens[:-1]))), zlens
+        )
+        zero_idx = np.repeat(b[zmask], zlens) + offs
+    else:
+        zero_idx = np.empty(0, dtype=np.int64)
+
+    events_pos: list[np.ndarray] = [zero_idx.astype(np.float64)]
+    events_val: list[np.ndarray] = [np.zeros(zero_idx.shape[0])]
+
+    # maximal nonzero segments = groups of consecutive nonzero runs
+    nzmask = ~zmask
+    if nzmask.any():
+        seg_first = np.flatnonzero(nzmask & np.concatenate(([True], zmask[:-1])))
+        seg_last = np.flatnonzero(nzmask & np.concatenate((zmask[1:], [True])))
+        a_seg = b[seg_first]
+        b_seg = ends_r[seg_last]
+        seg_len = b_seg - a_seg
+        q = seg_len // window_size
+        total_w = int(q.sum())
+        if total_w:
+            rep_a = np.repeat(a_seg, q)
+            k = (
+                np.arange(total_w, dtype=np.int64)
+                - np.repeat(np.concatenate(([0], np.cumsum(q[:-1]))), q)
+                + 1
+            )
+            w_ends = rep_a + k * window_size - 1
+            sums = integral(w_ends + 1) - integral(w_ends + 1 - window_size)
+            events_pos.append(w_ends.astype(np.float64))
+            events_val.append(sums / window_size)
+        rem = seg_len - q * window_size
+        rmask = rem > 0
+        if rmask.any():
+            r_end = b_seg[rmask]
+            r_sum = integral(r_end) - integral(r_end - rem[rmask])
+            events_pos.append((r_end - 1).astype(np.float64))
+            events_val.append(r_sum / rem[rmask])
 
     pos = np.concatenate(events_pos)
     val = np.concatenate(events_val)
@@ -154,11 +253,18 @@ def plot_target(
         legend1 = plt.legend(handles=[hifi_line, nano_line], loc="upper left")
         plt.gca().add_artist(legend1)
 
+    from gci_tpu.depth.eventspace import DepthEvents
+
+    def _collapse(depths, lo, hi, flank, start_pos):
+        if isinstance(depths, DepthEvents):
+            return depths.collapse(lo, hi, flank, start_pos)
+        return collapse_depth_runs(depths, lo, hi, flank, start_pos)
+
     blue_flag = red_flag = False
     for i, depthss in enumerate(depths_list):
         depths = depthss[target]
         span_args = (y_frac, 1) if i == 0 else (0, y_frac)
-        low_bed = collapse_depth_runs(
+        low_bed = _collapse(
             depths, threshold, mean_depths[i] * depth_min, 0, start
         )
         if low_bed:
@@ -168,7 +274,7 @@ def plot_target(
             for seg in low_bed:
                 ax.axvspan(seg[0] / 1e6, seg[1] / 1e6, *span_args, facecolor="#B7DBEA")
             blue_flag = True
-        zero_bed = collapse_depth_runs(depths, -1, threshold, 0, start)
+        zero_bed = _collapse(depths, -1, threshold, 0, start)
         if zero_bed:
             zero_bed = distance_merge(
                 zero_bed, end - start, dist_percent, start, start, end
@@ -255,26 +361,29 @@ def plot_depth_files(
         sys.exit("ERROR!!! The format of output images only supports pdf and png")
     save_dir = f"{directory}/images" if images_subdir else directory
 
-    # plotting windows over per-base values; materialize any event-space depth
     from gci_tpu.depth.eventspace import DepthEvents
-
-    depths_list = [
-        {
-            t: d.materialize() if isinstance(d, DepthEvents) else d
-            for t, d in dd.items()
-        }
-        for dd in depths_list
-    ]
 
     if depth_mean is not None:
         mean_depths = depth_mean
     else:
+        # mean over the concatenated genome (GCI.py:862-868).  np.mean's
+        # float64 pairwise sum of int depths is exact below 2^53, so the
+        # event-space total/length quotient is bit-identical to it.
         mean_depths = []
         for depthss in depths_list:
-            concat = np.concatenate([np.asarray([], dtype=np.float64)] + [
-                np.asarray(v) for v in depthss.values()
-            ])
-            mean_depths.append(np.mean(concat))
+            total = 0
+            n_bases = 0
+            for v in depthss.values():
+                if isinstance(v, DepthEvents):
+                    total += v.total()
+                    n_bases += v.length
+                else:
+                    a = np.asarray(v)
+                    total += int(a.sum(dtype=np.int64))
+                    n_bases += a.shape[0]
+            mean_depths.append(
+                np.float64(total) / n_bases if n_bases else np.float64(np.nan)
+            )
     max_depths = [m * depth_max for m in mean_depths]
 
     if not regions_only:
@@ -308,7 +417,14 @@ def plot_depth_files(
                         '"--force" to rewrite'
                     )
                 regions_depths_list = [
-                    {target: depthss[target][start:end]} for depthss in depths_list
+                    {
+                        target: (
+                            depthss[target].slice(start, end)
+                            if isinstance(depthss[target], DepthEvents)
+                            else depthss[target][start:end]
+                        )
+                    }
+                    for depthss in depths_list
                 ]
                 averaged_dicts, y_frac, y_min, y_max = pre_plot(
                     regions_depths_list, max_depths, window_size, start
