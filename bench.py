@@ -228,20 +228,23 @@ def _write_random_fasta(path, names, length, rng):
                 f.write(tail.tobytes() + b"\n")
 
 
-def ensure_e2e_inputs():
-    """Generate (once) and cache the e2e workload: ref.fa + hifi.bam."""
+def ensure_e2e_inputs(bp=None, n_reads=None, n_targets=None, seed=0xE2E):
+    """Generate (once) and cache a synthetic workload: ref.fa + hifi.bam."""
+    bp = E2E_BP if bp is None else bp
+    n_reads = E2E_READS if n_reads is None else n_reads
+    n_targets = N_TARGETS if n_targets is None else n_targets
     os.makedirs(E2E_DIR, exist_ok=True)
-    tag = f"{E2E_BP}_{E2E_READS}"
+    tag = f"{bp}_{n_reads}"
     ref = os.path.join(E2E_DIR, f"ref_{tag}.fa")
     bam = os.path.join(E2E_DIR, f"hifi_{tag}.bam")
     if os.path.exists(ref) and os.path.exists(bam):
         return ref, bam
-    rng = np.random.default_rng(0xE2E)
-    target_len = E2E_BP // N_TARGETS
-    names = [f"chr{i}" for i in range(N_TARGETS)]
+    rng = np.random.default_rng(seed)
+    target_len = bp // n_targets
+    names = [f"chr{i}" for i in range(n_targets)]
     _write_random_fasta(ref, names, target_len, rng)
 
-    cols = synth_columns(rng, E2E_READS, target_len, N_TARGETS)
+    cols = synth_columns(rng, n_reads, target_len, n_targets)
     from gci_tpu.io.bam_writer import build_record, write_bam_stream
 
     order = np.lexsort((cols["start"], cols["tid"]))
@@ -260,8 +263,135 @@ def ensure_e2e_inputs():
                 nm=int(cols["nm"][k]),
             )
 
-    write_bam_stream(bam, names, [target_len] * N_TARGETS, records(), level=1)
+    write_bam_stream(bam, names, [target_len] * n_targets, records(), level=1)
     return ref, bam
+
+
+# ---------------------------------------------------------------------------
+# CHM13-scale streamed rehearsal (north-star extrapolation)
+# ---------------------------------------------------------------------------
+
+CHM13_BP = int(os.environ.get("GCI_BENCH_CHM13_BP", 3_100_000_000))
+CHM13_READS = int(os.environ.get("GCI_BENCH_CHM13_READS", 160_000))
+CHM13_TARGETS = 24
+
+# north-star workload (BASELINE.md): CHM13v2 58x HiFi; reads at ~18-20 kb
+NORTH_STAR_READS = 9_000_000
+NORTH_STAR_HOSTS = 4   # v5e-16 = 4 hosts x 4 chips
+NORTH_STAR_CHIPS = 16
+
+
+def run_chm13_child():
+    """Whole-human-scale rehearsal: 3.1 Gbp through --device streamed plus a
+    gci-score resume from the checkpoint, in a fresh process so peak RSS is
+    the rehearsal's own (the O(runs) claim: no per-base array anywhere —
+    a per-base int64 depth dict alone would be ~25 GB).
+
+    Prints one line ``CHM13::{json}`` consumed by the parent bench.
+    """
+    import resource
+
+    from gci_tpu.pipeline import run_gci
+    from gci_tpu.utils.metrics import get_metrics
+
+    ref, bam = ensure_e2e_inputs(
+        CHM13_BP, CHM13_READS, CHM13_TARGETS, seed=0xC13
+    )
+    outdir = os.path.join(E2E_DIR, "out_chm13")
+    get_metrics().reset()
+    t0 = time.perf_counter()
+    run_gci(
+        hifi=[bam], reference=ref, directory=outdir, prefix="C", force=True,
+        threads=os.cpu_count() or 1, depth_backend="streamed",
+    )
+    wall = time.perf_counter() - t0
+    stages = {r.name: round(r.seconds, 3) for r in get_metrics().records}
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+    # resume from the checkpoint: O(runs) run-space decode, byte-equal .gci
+    t0 = time.perf_counter()
+    from gci_tpu.tools.score_only import main as score_main
+
+    resume_dir = os.path.join(E2E_DIR, "out_chm13_resume")
+    os.makedirs(resume_dir, exist_ok=True)
+    score_main([
+        "-r", ref, "--hifi", os.path.join(outdir, "C.depth.gz"),
+        "-d", resume_dir, "-o", "C", "-f",
+    ])
+    resume_wall = time.perf_counter() - t0
+    with open(os.path.join(outdir, "C.gci"), "rb") as a:
+        run_gci_bytes = a.read()
+    with open(os.path.join(resume_dir, "C.gci"), "rb") as b:
+        resume_match = run_gci_bytes == b.read()
+    rss_after_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+    pack_s = sum(v for k, v in stages.items() if "bam_pack" in k)
+    depth_s = sum(v for k, v in stages.items() if "depth_accumulate" in k)
+    write_s = sum(v for k, v in stages.items() if "write_depth_gz" in k)
+    other_s = max(wall - pack_s - depth_s - write_s, 0.0)
+
+    # v5e-16 stage-budget extrapolation.  Scaling model: pack is linear in
+    # reads and shards 1/H across hosts (measured; per-host input sharding);
+    # the streamed/sharded depth pass is linear in genome slots (coverage
+    # changes read events, not slots) and gp-shards ~1/chips; the RLE
+    # checkpoint write is O(runs) host work on the primary.  All measured on
+    # THIS 2-vCPU noisy host — a real v5e host has >100 vCPUs, so the
+    # host-side terms are upper bounds.
+    ns_pack = pack_s * (NORTH_STAR_READS / CHM13_READS) / NORTH_STAR_HOSTS
+    ns_depth = depth_s / NORTH_STAR_CHIPS
+    ns_total = ns_pack + ns_depth + write_s + other_s
+    result = {
+        "bp": CHM13_BP,
+        "reads": CHM13_READS,
+        "wall_s": round(wall, 1),
+        "stages": {
+            "bam_pack": round(pack_s, 1),
+            "depth_streamed": round(depth_s, 1),
+            "write_depth_gz": round(write_s, 1),
+            "other": round(other_s, 1),
+        },
+        "peak_rss_gb": round(rss_gb, 2),
+        "rss_o_runs_ok": rss_gb < 10.0,  # per-base would need >= 25 GB
+        "resume_wall_s": round(resume_wall, 1),
+        "resume_gci_match": resume_match,
+        "peak_rss_after_resume_gb": round(rss_after_gb, 2),
+        "v5e16_extrapolation_s": {
+            "assumptions": (
+                f"{NORTH_STAR_READS / 1e6:.0f}M HiFi reads (CHM13 58x), "
+                f"v5e-16: {NORTH_STAR_HOSTS} hosts / {NORTH_STAR_CHIPS} chips total; "
+                "pack ~reads/hosts, depth ~slots/chips, write+other on "
+                "primary host; 2-vCPU-host numbers = upper bounds"
+            ),
+            "bam_pack": round(ns_pack, 1),
+            "depth": round(ns_depth, 1),
+            "write_depth_gz": round(write_s, 1),
+            "other": round(other_s, 1),
+            "total": round(ns_total, 1),
+            "north_star_60s_met": ns_total < 60.0,
+        },
+    }
+    print("CHM13::" + json.dumps(result))
+
+
+def run_chm13_rehearsal():
+    """Run the rehearsal in a subprocess; None when skipped/failed."""
+    if os.environ.get("GCI_BENCH_SKIP_CHM13"):
+        return None
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--chm13-child"],
+        capture_output=True, timeout=3600,
+    )
+    for line in r.stdout.decode(errors="replace").splitlines():
+        if line.startswith("CHM13::"):
+            return json.loads(line[len("CHM13::"):])
+    return {
+        "error": "child failed",
+        "tail": r.stdout.decode(errors="replace")[-500:]
+        + r.stderr.decode(errors="replace")[-1500:],
+    }
 
 
 def run_e2e(backend: str, ref: str, bam: str):
@@ -411,6 +541,8 @@ def main():
         else f"device: backend stages {dv_b}s vs events {ev_b}s — flip auto"
     )
 
+    chm13 = run_chm13_rehearsal()
+
     out = {
         "metric": "synthetic 1Gbp/4M-read filtered+depth-binned+interval-scanned reads/s per chip",
         "value": round(reads_per_s, 1),
@@ -420,8 +552,15 @@ def main():
     }
     if kernel is not None:
         out["fused_kernel"] = kernel
+    if chm13 is not None:
+        out["chm13_rehearsal"] = chm13
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--chm13-child" in sys.argv:
+        run_chm13_child()
+    else:
+        main()
