@@ -14,7 +14,7 @@ import os
 import sys
 
 from gci_tpu.io.bed import read_bed_dict
-from gci_tpu.io.depth_file import read_depth_gz
+from gci_tpu.io.depth_file import read_depth_gz_events
 from gci_tpu.io.fasta import mask_gaps_in_depths, scan_fasta
 from gci_tpu.reports import emit_gaps_bed
 
@@ -54,7 +54,9 @@ def run_plot(
         if path is None:
             continue
         print(f"Parsing {label} depth file ...")
-        depths, tl = read_depth_gz(path)
+        # run-space decode: O(runs) host memory, windows/shading computed
+        # from the events directly (no per-base genome arrays)
+        depths, tl = read_depth_gz_events(path)
         print(f"Parsing {label} depth file ... done!!!\n\n")
         for t in tl:
             if t not in ref_refs:
