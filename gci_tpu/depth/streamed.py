@@ -70,6 +70,15 @@ def _resolve_kernel(
     # never a chunk larger than the (tile-aligned) genome itself
     chunk_slots = min(chunk_slots, total + ((-total) % tile))
     chunk_slots = max(tile, (chunk_slots // tile) * tile)
+    # bucket the chunk size to powers of two of the tile: every distinct
+    # Pallas grid is a separate multi-minute remote Mosaic compile (same
+    # rationale as DeviceDepth.pad_total_for), so a genome-derived chunk
+    # size would pay a fresh compile per genome; the padded tail carries
+    # zero deltas
+    p = tile
+    while p < chunk_slots:
+        p *= 2
+    chunk_slots = p
     interp = not on_tpu  # off-TPU pallas runs in interpret mode (tests)
 
     def scan(delta):
