@@ -57,6 +57,10 @@ E2E_READS = int(os.environ.get("GCI_BENCH_E2E_READS", 250_000))
 E2E_DIR = os.environ.get("GCI_BENCH_DIR", "/tmp/gci_tpu_bench")
 
 HBM_SOL_GBPS = 819.0  # v5e single-chip HBM bandwidth speed-of-light
+# measured r3: a pure copy kernel with the same (2048,128)-block parallel
+# grid reaches ~298 GB/s — the realistic DMA ceiling for this structure
+# (and scan variants are compute-bound well below it; see CLAUDE.md)
+STRUCTURE_SOL_GBPS = 298.0
 
 
 def synth_columns(rng, n_reads, target_len, n_targets):
@@ -204,6 +208,8 @@ def measure_kernel_bandwidth(iters: int = 16):
         "dispatch_overhead_s": round(max(t1 - per_pass, 0.0), 4),
         "gbps": round(gbps, 1),
         "hbm_frac": round(gbps / HBM_SOL_GBPS, 3),
+        # vs the measured copy-kernel ceiling of this grid structure
+        "structure_sol_frac": round(gbps / STRUCTURE_SOL_GBPS, 3),
     }
 
 
@@ -540,6 +546,12 @@ def main():
         if ev_b <= dv_b
         else f"device: backend stages {dv_b}s vs events {ev_b}s — flip auto"
     )
+    # what the production heuristic (gci_tpu.depth.resolve_auto_backend)
+    # actually picks on this machine: its dispatch-latency probe should
+    # agree with the measured crossover above
+    from gci_tpu.depth import resolve_auto_backend
+
+    e2e["auto_resolved"] = resolve_auto_backend()
 
     chm13 = run_chm13_rehearsal()
 
