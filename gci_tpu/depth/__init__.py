@@ -49,8 +49,18 @@ def resolve_auto_backend(
     if not explicit and _AUTO_RESOLVED is not None:
         return _AUTO_RESOLVED
     if default_backend is None:
+        # tunneled-TPU plugins (axon) are never "colocated": decide from the
+        # platform list WITHOUT initializing the backend — merely warming the
+        # runtime through a tunnel can cost minutes (measured 233s), which
+        # would be absurd overhead just to pick the host backend
         import jax
 
+        platforms = os.environ.get("JAX_PLATFORMS", "") or str(
+            getattr(jax.config, "jax_platforms", None) or ""
+        )
+        if "axon" in platforms:
+            _AUTO_RESOLVED = "events"
+            return "events"
         default_backend = jax.default_backend()
     if default_backend != "tpu":
         choice = "events"

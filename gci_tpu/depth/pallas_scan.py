@@ -3,23 +3,25 @@
 XLA lowers a 1-D ``jnp.cumsum`` over the genome axis to ~log2(N) full HBM
 passes (measured ~275 ms for 1 Gbp on v5e — ~30x off memory speed-of-light).
 This kernel makes the whole per-base stage graph a single pass with the
-classic two-level decomposition (measured, BENCH_r02: ~41 ms per 0.5G-slot
-pass for depth+mask+edges+RLE together = ~170 GB/s of its 13 B/slot traffic,
-~21% of v5e HBM speed-of-light).  The lane scan runs on the MXU as a
-triangular-matrix matmul (exact int32 via a 16-bit hi/lo split); swapping it
-in for the earlier VPU roll chain measured wall-clock-neutral (166 -> 170
-GB/s), so the residual gap is NOT lane-scan compute — and larger blocks
-measured WORSE (rows=4096: 163 GB/s, rows=8192: 134 GB/s, with
-vmem_limit_bytes raised past the 16M scoped default they need), so it is
-not per-grid-step overhead either; rows=2048 (1 MiB int32 blocks) is the
-empirical sweet spot for overlapping the 7 DMA streams:
+classic two-level decomposition:
 
   1. per-chunk sums + exclusive carry: one cheap XLA reduction + a tiny scan,
-  2. one fused Pallas pass per chunk: in-VMEM hierarchical scan
-     (lane-doubling shifts + sublane-doubling shifts), add the carry, then
-     compute the issue-interval mask and its rise/fall edge flags in the same
-     pass — depth, mask edges and the gap-masked depth all come out of a
-     single HBM read of the delta array.
+  2. one fused Pallas pass per chunk: in-VMEM hierarchical scan (MXU
+     triangular-matmul lane scan + full-tile-broadcast sublane carry), add
+     the carry, then compute the issue-interval mask and its rise/fall edge
+     flags in the same pass — depth, mask edges and the gap-masked depth all
+     come out of a single HBM read of the delta array.
+
+Measured shape facts (r3, v5e, 0.5G slots, rows=2048):
+  * a pure copy kernel with this grid/block structure reaches ~298 GB/s —
+    the realistic DMA ceiling (36% of the 819 GB/s nominal HBM SoL);
+  * (R, 1)-COLUMN rolls lower pathologically: the original column-based
+    sublane carry cost ~17 ms/pass by itself (scan-only pass 37.6 ms vs
+    20.4 ms with the broadcast form in ``_row_carry_bcast``) — keep every
+    hot op a full-width (R, 128) tile;
+  * the MXU lane-scan matmul vs a VPU roll chain is wall-clock neutral;
+  * rows=4096/8192 measured worse (and exceed the 16 MiB scoped-vmem
+    default); rows=2048 (1 MiB int32 blocks) is the empirical sweet spot.
 
 The chunk-boundary mask dependency (``prev`` of the first element) is exact:
 depth just before a chunk IS the carry, and the previous slot's scan-window
@@ -90,7 +92,12 @@ def _lane_inclusive_scan(x):
 
 
 def _sublane_exclusive_scan(col):
-    """Exclusive cumsum along axis=0 of an (R, 1) column via doubling shifts."""
+    """Exclusive cumsum along axis=0 of an (R, 1) column via doubling shifts.
+
+    Only for SHORT columns (e.g. per-group totals): Mosaic lowers (R, 1)
+    rolls pathologically for large R (~17 ms per 0.5G-slot pass at R=2048,
+    measured r3) — the hot kernels use ``_row_carry_bcast`` instead.
+    """
     rows = col.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, col.shape, 0)
     inc = col
@@ -102,25 +109,48 @@ def _sublane_exclusive_scan(col):
     return inc - col
 
 
+def _row_carry_bcast(row_cs):
+    """Exclusive prefix (over rows) of the row totals, broadcast to the full
+    (R, LANES) tile.
+
+    Semantically ``broadcast(_sublane_exclusive_scan(row_cs[:, -1:]))``, but
+    every op is a full-width tile: (R, 1)-column rolls dominate the whole
+    kernel when R is large (attribution measured r3: scan pass 37.6 ms with
+    the column chain vs 20.4 ms with this form, on 0.5G slots), while
+    full-tile sublane rolls are nearly free because the VPU processes 128
+    lanes either way.
+    """
+    tot = jnp.broadcast_to(row_cs[:, LANES - 1 :], row_cs.shape)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, row_cs.shape, 0)
+    rows = row_cs.shape[0]
+    inc = tot
+    k = 1
+    while k < rows:
+        inc = inc + jnp.where(row_idx >= k, pltpu.roll(inc, k, 0), 0)
+        k *= 2
+    return inc - tot
+
+
 def _linear_prev(m, prev0):
     """Row-major linear-order predecessor of each element of an (R, 128)
-    int32 tile; ``prev0`` (scalar) seeds the predecessor of element (0, 0)."""
-    last_col = m[:, LANES - 1 :]
-    rolled_col = pltpu.roll(last_col, 1, 0)
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, last_col.shape, 0)
-    boundary_col = jnp.where(row_idx == 0, prev0, rolled_col)
-    prev_lane = pltpu.roll(m, 1, 1)
+    int32 tile; ``prev0`` (scalar) seeds the predecessor of element (0, 0).
+
+    Full-tile rolls only: the lane-0 boundary (``m[r-1, 127]``) comes from
+    rolling both axes of the whole tile instead of a (R, 1) column roll
+    (same pathological-lowering avoidance as ``_row_carry_bcast``)."""
+    both = pltpu.roll(pltpu.roll(m, 1, 0), 1, 1)  # [r, c] = m[r-1, c-1]
+    prev_lane = pltpu.roll(m, 1, 1)               # [r, c] = m[r, c-1]
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
-    return jnp.where(lane_idx == 0, boundary_col, prev_lane)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, m.shape, 0)
+    out = jnp.where(lane_idx == 0, both, prev_lane)
+    return jnp.where((lane_idx == 0) & (row_idx == 0), prev0, out)
 
 
 def _scan_kernel(carry_val, seed_valid_val, lo, hi,
                  delta_ref, valid_ref, depth_ref, rise_ref, fall_ref):
     x = delta_ref[:]
     row_cs = _lane_inclusive_scan(x)
-    row_tot = row_cs[:, LANES - 1 :]
-    row_carry = _sublane_exclusive_scan(row_tot)
-    depth = row_cs + row_carry + carry_val
+    depth = row_cs + _row_carry_bcast(row_cs) + carry_val
     depth_ref[:] = depth
 
     valid = valid_ref[:] != 0
@@ -142,9 +172,7 @@ def _scan_masked_kernel(is_first, carry_val, seed_valid_val, seed_gap_val, lo, h
     """The production single-pass kernel (see ``fused_depth_scan_masked``)."""
     x = delta_ref[:]
     row_cs = _lane_inclusive_scan(x)
-    row_tot = row_cs[:, LANES - 1 :]
-    row_carry = _sublane_exclusive_scan(row_tot)
-    raw = row_cs + row_carry + carry_val
+    raw = row_cs + _row_carry_bcast(row_cs) + carry_val
     depth_ref[:] = raw
 
     gap = gap_ref[:] != 0
@@ -175,9 +203,7 @@ def _scan_masked_kernel(is_first, carry_val, seed_valid_val, seed_gap_val, lo, h
 def _scan_only_kernel(carry_val, delta_ref, depth_ref):
     x = delta_ref[:]
     row_cs = _lane_inclusive_scan(x)
-    row_tot = row_cs[:, LANES - 1 :]
-    row_carry = _sublane_exclusive_scan(row_tot)
-    depth_ref[:] = row_cs + row_carry + carry_val
+    depth_ref[:] = row_cs + _row_carry_bcast(row_cs) + carry_val
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "interpret"))
