@@ -1447,6 +1447,7 @@ static void parse_runs_range(const uint8_t* p, size_t s, size_t e,
     } else if (b == '\n' || b == '\r') {
       i++;
     } else {
+      size_t ls = i;
       int64_t v = 0;
       bool any = false;
       while (i < e && p[i] >= '0' && p[i] <= '9') {
@@ -1460,12 +1461,33 @@ static void parse_runs_range(const uint8_t* p, size_t s, size_t e,
         out.bad = true;
         return;
       }
+      int64_t reps = 1;
+      // periodic fast path: checkpoints are dominated by runs of identical
+      // lines; extend with 8-byte period-L compares (memcmp speed) instead
+      // of re-parsing every line.  A period-L byte match cannot cross a
+      // '>' header (no '>' in a digit line), so run/record boundaries are
+      // preserved exactly.
+      size_t L = i - ls;
+      if (L > 0 && p[i - 1] == '\n' && i < e) {
+        size_t x = i;
+        while (x + 8 <= e) {
+          uint64_t a, b;
+          memcpy(&a, p + x, 8);
+          memcpy(&b, p + x - L, 8);
+          if (a != b) break;
+          x += 8;
+        }
+        while (x < e && p[x] == p[x - L]) x++;
+        size_t extra = (x - i) / L;
+        reps += (int64_t)extra;
+        i += extra * L;
+      }
       if (v == cur_val) {
-        cur_cnt++;
+        cur_cnt += reps;
       } else {
         flush();
         cur_val = v;
-        cur_cnt = 1;
+        cur_cnt = reps;
       }
     }
   }
@@ -1473,33 +1495,10 @@ static void parse_runs_range(const uint8_t* p, size_t s, size_t e,
 }
 }  // namespace
 
-GCI_API void* gci_depth_decode_runs_file(const char* path, int nthreads) {
-  auto* dr = new DepthRuns();
-  std::vector<uint8_t> raw;
-  if (!read_file(path, raw)) {
-    dr->error = "cannot read file";
-    return dr;
-  }
-  const uint8_t* p = raw.data();
-  size_t n = raw.size();
-  std::vector<uint8_t> inflated;
-  if (n >= 2 && p[0] == 0x1f && p[1] == 0x8b) {
-    std::vector<BgzfBlock> blocks;
-    size_t total = 0;
-    if (bgzf_scan(p, n, blocks, total)) {
-      inflated.resize(total);
-      if (!bgzf_decompress_parallel(p, blocks, inflated.data(), nthreads)) {
-        dr->error = "bgzf decompress failed";
-        return dr;
-      }
-    } else if (!gzip_inflate_all(p, n, inflated)) {
-      dr->error = "gzip inflate failed";
-      return dr;
-    }
-    p = inflated.data();
-    n = inflated.size();
-  }
-  // split into line-aligned chunks and parse in parallel
+// Parse [0, n) of inflated text into dr via T parallel line-aligned
+// sub-ranges, coalescing runs across every border.
+static bool parse_runs_buffer(DepthRuns* dr, const uint8_t* p, size_t n,
+                              int nthreads, bool* seen_header) {
   int T = nthreads > 1 ? nthreads : 1;
   if ((size_t)T > n / (1 << 20) + 1) T = (int)(n / (1 << 20) + 1);
   std::vector<size_t> starts(T + 1, n);
@@ -1521,21 +1520,20 @@ GCI_API void* gci_depth_decode_runs_file(const char* path, int nthreads) {
     }
     for (auto& th : ts) th.join();
   }
-  bool seen_header = false;
   for (auto& ch : chunks) {
     if (ch.bad) {
       dr->error = "malformed depth line";
-      return dr;
+      return false;
     }
     for (auto& ev : ch.events) {
       if (ev.value == -1) {
         dr->names.push_back(std::move(ch.names[(size_t)ev.count]));
         dr->run_off.push_back((int64_t)dr->run_values.size());
-        seen_header = true;
+        *seen_header = true;
       } else {
-        if (!seen_header) {
+        if (!*seen_header) {
           dr->error = "depth file has no '>' target header";
-          return dr;
+          return false;
         }
         // coalesce runs split across chunk borders
         if (!dr->run_values.empty() &&
@@ -1548,6 +1546,116 @@ GCI_API void* gci_depth_decode_runs_file(const char* path, int nthreads) {
         }
       }
     }
+  }
+  return true;
+}
+
+GCI_API void* gci_depth_decode_runs_file(const char* path, int nthreads) {
+  const bool dbg = getenv("GCI_NATIVE_DEBUG") != nullptr;
+  auto now = []() {
+    return std::chrono::duration<double>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+  };
+  double t0 = now();
+  auto* dr = new DepthRuns();
+  std::vector<uint8_t> raw;
+  if (!read_file(path, raw)) {
+    dr->error = "cannot read file";
+    return dr;
+  }
+  double t1 = now();
+  const uint8_t* p = raw.data();
+  size_t n = raw.size();
+  bool seen_header = false;
+  std::vector<BgzfBlock> blocks;
+  size_t total = 0;
+  if (n >= 2 && p[0] == 0x1f && p[1] == 0x8b &&
+      bgzf_scan(p, n, blocks, total)) {
+    // Windowed decode: the expanded text (tens of GB for a genome) is
+    // never materialized whole — inflate ~64 MB of blocks at a time into a
+    // reused buffer (parallel), parse up to the last newline, carry the
+    // partial line.  O(runs + window) memory; also avoids the multi-GB
+    // value-init/first-touch cost (measured 29 s for 6.2 GB on this host).
+    const size_t WIN = 64u << 20;
+    std::vector<uint8_t> win;
+    std::vector<uint8_t> carry;
+    size_t bi = 0;
+    double t_infl = 0, t_parse = 0;
+    while (bi < blocks.size()) {
+      size_t start = bi;
+      size_t tot = 0;
+      while (bi < blocks.size() && tot < WIN) {
+        tot += blocks[bi].isize;
+        bi++;
+      }
+      size_t clen = carry.size();
+      win.resize(clen + tot);
+      if (clen) memcpy(win.data(), carry.data(), clen);
+      double ti = now();
+      {
+        std::atomic<size_t> next(start);
+        std::atomic<bool> ok(true);
+        size_t base_off = blocks[start].out_off;
+        auto worker = [&]() {
+          while (true) {
+            size_t k = next.fetch_add(1);
+            if (k >= bi || !ok.load()) break;
+            const BgzfBlock& b = blocks[k];
+            if (b.isize == 0) continue;
+            if (!inflate_raw(p + b.comp_off, b.comp_len,
+                             win.data() + clen + (b.out_off - base_off),
+                             b.isize))
+              ok.store(false);
+          }
+        };
+        int T = nthreads > 1 ? nthreads : 1;
+        std::vector<std::thread> ts;
+        for (int t = 1; t < T; t++) ts.emplace_back(worker);
+        worker();
+        for (auto& th : ts) th.join();
+        if (!ok.load()) {
+          dr->error = "bgzf decompress failed";
+          return dr;
+        }
+      }
+      t_infl += now() - ti;
+      size_t usable = win.size();
+      bool last = bi == blocks.size();
+      if (!last) {
+        size_t cut = usable;
+        while (cut > 0 && win[cut - 1] != '\n') cut--;
+        if (cut == 0) {
+          carry.assign(win.begin(), win.end());
+          continue;  // no newline yet: grow with the next window
+        }
+        carry.assign(win.begin() + cut, win.end());
+        usable = cut;
+      } else {
+        carry.clear();
+      }
+      ti = now();
+      if (!parse_runs_buffer(dr, win.data(), usable, nthreads, &seen_header))
+        return dr;
+      t_parse += now() - ti;
+    }
+    if (dbg)
+      fprintf(stderr,
+              "[gci_native] decode_runs(windowed) read=%.2fs inflate=%.2fs "
+              "parse=%.2fs inflated=%zu\n",
+              t1 - t0, t_infl, t_parse, total);
+  } else {
+    // plain gzip (reference writer) or uncompressed: whole-buffer path
+    std::vector<uint8_t> inflated;
+    if (n >= 2 && p[0] == 0x1f && p[1] == 0x8b) {
+      if (!gzip_inflate_all(p, n, inflated)) {
+        dr->error = "gzip inflate failed";
+        return dr;
+      }
+      p = inflated.data();
+      n = inflated.size();
+    }
+    if (!parse_runs_buffer(dr, p, n, nthreads, &seen_header)) return dr;
   }
   dr->run_off.push_back((int64_t)dr->run_values.size());
   return dr;

@@ -89,7 +89,28 @@ def owned_dp_rows(mesh, n_rows: int) -> tuple[int, int]:
     return owned[0] * chunk, (owned[-1] + 1) * chunk
 
 
+def _multiprocess_active() -> bool:
+    """True only when jax.distributed was initialized (multi-host run).
+
+    ``jax.process_index()/process_count()`` initialize the device backend,
+    which for a remote/tunneled TPU costs seconds-to-minutes — absurd
+    overhead for host-only tools that just need "am I the single writer?".
+    Without a distributed client the answer is always single-process.
+    """
+    try:
+        from jax._src import distributed
+
+        gs = distributed.global_state
+        return gs.client is not None or gs.coordinator_address is not None
+    except Exception:
+        import jax
+
+        return jax.process_count() > 1
+
+
 def process_count() -> int:
+    if not _multiprocess_active():
+        return 1
     import jax
 
     return jax.process_count()
@@ -168,6 +189,8 @@ def is_primary_host() -> bool:
     writes the output files; the reference's single-writer file semantics
     (GCI.py:99-143 etc.) are preserved verbatim.  Always True single-process.
     """
+    if not _multiprocess_active():
+        return True
     import jax
 
     return jax.process_index() == 0
