@@ -153,14 +153,15 @@ def accumulate_depth_streamed(
     return out
 
 
-@functools.lru_cache(maxsize=8)
-def _change_step():
+@functools.lru_cache(maxsize=64)
+def _compact_gather_fn(size: int):
     import jax
     import jax.numpy as jnp
 
-    def f(depth, prev0):
-        prev = jnp.concatenate([prev0[None].astype(depth.dtype), depth[:-1]])
-        return (depth != prev).astype(jnp.int8)
+    def f(depth, change):
+        idx = jnp.flatnonzero(change, size=size, fill_value=-1)
+        vals = jnp.take(depth, jnp.clip(idx, 0, None))
+        return idx, vals
 
     return jax.jit(f)
 
@@ -183,30 +184,68 @@ def events_from_reads_streamed(
     two-type max / interval calling run in event space, so the whole
     pipeline — including the issue BED (GCI.py:356-390) and the checkpoint
     writer (GCI.py:99-143) — never touches a per-base array.
+
+    Dispatch economy: TWO device calls per chunk (scan+change+count with a
+    scalar readback, then a static-size compaction+gather) — per-call
+    round-trip latency, not kernel time, dominates chunked streaming on
+    high-latency links.
     """
+    import jax
     import jax.numpy as jnp
 
     from gci_tpu.depth.base import events_from_change_indices
-    from gci_tpu.depth.fused import compact_indices
 
-    change_fn = _change_step()
+    total = layout.total_slots
+    scan, chunk_slots = _resolve_kernel(kernel, chunk_slots, pallas_rows, total)
+    gs, ge = _sorted_events(layout, target_id, start, end, flank_len)
+    n_chunks, bounds, gs_lo, gs_hi, ge_lo, ge_hi, max_ev = _chunk_plan(
+        total, gs, ge, chunk_slots
+    )
+
+    @jax.jit
+    def chunk_step(gs_sel, ge_sel, carry, prev0):
+        delta = jnp.zeros(chunk_slots, jnp.int32)
+        delta = delta.at[gs_sel].add(
+            jnp.where(gs_sel < chunk_slots, 1, 0), mode="drop"
+        )
+        delta = delta.at[ge_sel].add(
+            jnp.where(ge_sel < chunk_slots, -1, 0), mode="drop"
+        )
+        depth = scan(delta) + carry
+        prev = jnp.concatenate([prev0[None].astype(depth.dtype), depth[:-1]])
+        change = (depth != prev).astype(jnp.int8)
+        return depth, change, jnp.sum(change, dtype=jnp.int32)
+
     all_idx: list[np.ndarray] = []
     all_vals: list[np.ndarray] = []
-    for a, b, depth_chunk, carry in _iter_depth_chunks(
-        layout, target_id, start, end, flank_len, chunk_slots, kernel,
-        pallas_rows,
-    ):
+    for c in range(n_chunks):
+        a = int(bounds[c])
+        b = min(a + chunk_slots, total)
+        gsel = gs[gs_lo[c] : gs_hi[c]] - a
+        gesel = ge[ge_lo[c] : ge_hi[c]] - a
+        gsel = np.pad(gsel, (0, max_ev - gsel.shape[0]), constant_values=chunk_slots)
+        gesel = np.pad(gesel, (0, max_ev - gesel.shape[0]), constant_values=chunk_slots)
+        carry = np.int32(gs_lo[c] - ge_lo[c])
         # chunk 0: force a boundary at position 0 (carry is 0 there; -1
         # differs from any real depth)
         prev0 = np.int32(carry if a > 0 else -1)
-        change = change_fn(depth_chunk, jnp.asarray(prev0))
-        idx = compact_indices(change)
-        idx = idx[idx < (b - a)]
+        depth_chunk, change, n = chunk_step(
+            jnp.asarray(gsel.astype(np.int32)),
+            jnp.asarray(gesel.astype(np.int32)),
+            carry,
+            jnp.asarray(prev0),
+        )
+        n = int(n)
+        if n == 0:
+            continue
+        size = 1 << (n - 1).bit_length()
+        idx_d, vals_d = _compact_gather_fn(size)(depth_chunk, change)
+        idx = np.asarray(idx_d)[:n].astype(np.int64)
+        vals = np.asarray(vals_d)[:n].astype(np.int64)
+        keep = idx < (b - a)
+        idx, vals = idx[keep], vals[keep]
         if idx.shape[0] == 0:
             continue
-        vals = np.asarray(
-            jnp.take(depth_chunk, jnp.asarray(idx.astype(np.int32)))
-        ).astype(np.int64)
         all_idx.append(idx + a)
         all_vals.append(vals)
 
