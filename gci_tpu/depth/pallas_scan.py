@@ -91,30 +91,12 @@ def _lane_inclusive_scan(x):
     return jnp.left_shift(cs_hi.astype(jnp.int32), 16) + cs_lo.astype(jnp.int32)
 
 
-def _sublane_exclusive_scan(col):
-    """Exclusive cumsum along axis=0 of an (R, 1) column via doubling shifts.
-
-    Only for SHORT columns (e.g. per-group totals): Mosaic lowers (R, 1)
-    rolls pathologically for large R (~17 ms per 0.5G-slot pass at R=2048,
-    measured r3) — the hot kernels use ``_row_carry_bcast`` instead.
-    """
-    rows = col.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, col.shape, 0)
-    inc = col
-    k = 1
-    while k < rows:
-        shifted = pltpu.roll(inc, k, 0)
-        inc = inc + jnp.where(row >= k, shifted, 0)
-        k *= 2
-    return inc - col
-
-
 def _row_carry_bcast(row_cs):
     """Exclusive prefix (over rows) of the row totals, broadcast to the full
     (R, LANES) tile.
 
-    Semantically ``broadcast(_sublane_exclusive_scan(row_cs[:, -1:]))``, but
-    every op is a full-width tile: (R, 1)-column rolls dominate the whole
+    Semantically the broadcast of an exclusive column scan of the row
+    totals, but every op is a full-width tile: (R, 1)-column rolls dominate the whole
     kernel when R is large (attribution measured r3: scan pass 37.6 ms with
     the column chain vs 20.4 ms with this form, on 0.5G slots), while
     full-tile sublane rolls are nearly free because the VPU processes 128
