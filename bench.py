@@ -304,13 +304,22 @@ def run_chm13_child():
         CHM13_BP, CHM13_READS, CHM13_TARGETS, seed=0xC13
     )
     outdir = os.path.join(E2E_DIR, "out_chm13")
-    get_metrics().reset()
-    t0 = time.perf_counter()
-    run_gci(
-        hifi=[bam], reference=ref, directory=outdir, prefix="C", force=True,
-        threads=os.cpu_count() or 1, depth_backend="streamed",
-    )
-    wall = time.perf_counter() - t0
+
+    def one_run():
+        get_metrics().reset()
+        t0 = time.perf_counter()
+        run_gci(
+            hifi=[bam], reference=ref, directory=outdir, prefix="C",
+            force=True, threads=os.cpu_count() or 1, depth_backend="streamed",
+        )
+        return time.perf_counter() - t0
+
+    # run twice: the first pass may pay one-time remote kernel compiles
+    # (the persistent compile cache can miss across tunnel sessions); the
+    # steady-state second pass is the measured one, the cold wall is
+    # reported alongside for honesty
+    cold_wall = one_run()
+    wall = one_run()
     stages = {r.name: round(r.seconds, 3) for r in get_metrics().records}
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
@@ -350,6 +359,7 @@ def run_chm13_child():
         "bp": CHM13_BP,
         "reads": CHM13_READS,
         "wall_s": round(wall, 1),
+        "cold_wall_s": round(cold_wall, 1),
         "stages": {
             "bam_pack": round(pack_s, 1),
             "depth_streamed": round(depth_s, 1),

@@ -53,17 +53,33 @@ def _elementwise_fns():
 
 
 @functools.lru_cache(maxsize=64)
-def _flatnonzero_fn(size: int):
+def _compact_fn(size: int):
+    """Sort-free static-size bitmap compaction: prefix sum + searchsorted.
+
+    ``jnp.flatnonzero(size=...)`` lowers through a full-length sort —
+    measured ~2.5 s per 256Mi-slot call on v5e — while the k-th set index
+    is just ``searchsorted(cumsum(bitmap), k)``: one prefix-sum pass (the
+    Pallas scan kernel when tile-aligned, ~10 ms) plus an O(k log n) binary
+    search batch.
+    """
     import jax
     import jax.numpy as jnp
 
-    return jax.jit(lambda x: jnp.flatnonzero(x, size=size, fill_value=-1))
+    from gci_tpu.depth.device import _local_prefix_sum
+
+    def f(bitmap):
+        pos = _local_prefix_sum((bitmap != 0).astype(jnp.int32))
+        k = jnp.arange(1, size + 1, dtype=pos.dtype)
+        idx = jnp.searchsorted(pos, k)
+        return jnp.where(k <= pos[-1], idx, -1)
+
+    return jax.jit(f)
 
 
 def compact_indices(bitmap) -> np.ndarray:
     """Device-side compaction of a nonzero bitmap into sorted int64 indices.
 
-    Count first (scalar readback), then a static-size ``flatnonzero`` padded
+    Count first (scalar readback), then a static-size compaction padded
     to the next power of two (bounds recompiles to log2 sizes).  Transfers
     O(k) indices instead of the O(genome) bitmap — this is what keeps the
     device->host hop cheap on narrow host links.
@@ -75,7 +91,7 @@ def compact_indices(bitmap) -> np.ndarray:
     if n == 0:
         return np.empty(0, np.int64)
     size = 1 << (n - 1).bit_length()
-    idx = _flatnonzero_fn(size)(bitmap)
+    idx = _compact_fn(size)(bitmap)
     # transfer the padded O(k) result and slice on host: a device-side
     # `idx[:n]` would dispatch an eager gather, which on a mesh-sharded
     # bitmap is pathologically slow
