@@ -34,12 +34,12 @@ class PafData:
         return len(self.names)
 
 
-def read_paf(path: str) -> PafData:
+def read_paf(path: str, threads: int = 2) -> PafData:
     """Parse a PAF file (native C++ fast path, Python fallback)."""
     try:
         from gci_tpu.native import NativePaf
 
-        np_ = NativePaf(path)
+        np_ = NativePaf(path, nthreads=threads)
         ints = np_.ints
         return PafData(
             names=np_.names,

@@ -106,7 +106,7 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.gci_bgzf_compress.restype = c.c_void_p
     lib.gci_bgzf_compress.argtypes = [u8p, c.c_int64, c.c_int, c.c_int]
     lib.gci_paf_open.restype = c.c_void_p
-    lib.gci_paf_open.argtypes = [c.c_char_p]
+    lib.gci_paf_open.argtypes = [c.c_char_p, c.c_int]
     lib.gci_paf_free.argtypes = [c.c_void_p]
     lib.gci_paf_num_rows.restype = c.c_int64
     lib.gci_paf_num_rows.argtypes = [c.c_void_p]
@@ -316,9 +316,9 @@ def bgzf_compress_native(data: bytes, level: int = 6, nthreads: int = 4) -> byte
 class NativePaf:
     """Packed PAF columns parsed by the C++ parser."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, nthreads: int = 2):
         lib = get_lib()
-        h = lib.gci_paf_open(path.encode())
+        h = lib.gci_paf_open(path.encode(), nthreads)
         if not h:
             raise OSError(f"cannot read PAF file: {path}")
         try:

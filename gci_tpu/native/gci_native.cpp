@@ -780,12 +780,9 @@ static inline int64_t parse_int(const char* s, const char* e) {
   return neg ? -v : v;
 }
 
-static PackedPaf* paf_parse(const char* p, size_t n) {
-  auto* pf = new PackedPaf();
-  size_t i = 0;
+static void paf_parse_range(const char* p, size_t i, size_t n,
+                            PackedPaf* pf) {
   const int NEED[8] = {1, 2, 3, 7, 8, 9, 10, 11};
-  pf->name_off.push_back(0);
-  pf->target_off.push_back(0);
   while (i < n) {
     size_t line_end = i;
     while (line_end < n && p[line_end] != '\n') line_end++;
@@ -817,12 +814,60 @@ static PackedPaf* paf_parse(const char* p, size_t n) {
     }
     i = line_end + 1;
   }
+}
+
+// Parse in parallel line-aligned ranges, then splice the shards in order.
+static PackedPaf* paf_parse(const char* p, size_t n, int nthreads) {
+  auto* pf = new PackedPaf();
+  pf->name_off.push_back(0);
+  pf->target_off.push_back(0);
+  int T = nthreads > 1 ? nthreads : 1;
+  if ((size_t)T > n / (1 << 20) + 1) T = (int)(n / (1 << 20) + 1);
+  std::vector<size_t> starts((size_t)T + 1, n);
+  starts[0] = 0;
+  for (int t = 1; t < T; t++) {
+    size_t cand = n * (size_t)t / (size_t)T;
+    const char* nl = (const char*)memchr(p + cand, '\n', n - cand);
+    starts[(size_t)t] = nl ? (size_t)(nl - p) + 1 : n;
+  }
+  for (int t = 1; t < T; t++)
+    if (starts[(size_t)t] < starts[(size_t)t - 1])
+      starts[(size_t)t] = starts[(size_t)t - 1];
+  std::vector<PackedPaf> shards((size_t)T);
+  {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < T; t++) {
+      ts.emplace_back([&, t]() {
+        shards[(size_t)t].name_off.push_back(0);
+        shards[(size_t)t].target_off.push_back(0);
+        paf_parse_range(p, starts[(size_t)t], starts[(size_t)t + 1],
+                        &shards[(size_t)t]);
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  for (auto& sh : shards) {
+    int64_t nb = (int64_t)pf->name_blob.size();
+    int64_t tb = (int64_t)pf->target_blob.size();
+    pf->ints.insert(pf->ints.end(), sh.ints.begin(), sh.ints.end());
+    pf->name_hash.insert(pf->name_hash.end(), sh.name_hash.begin(),
+                         sh.name_hash.end());
+    pf->name_hash2.insert(pf->name_hash2.end(), sh.name_hash2.begin(),
+                          sh.name_hash2.end());
+    pf->name_blob += sh.name_blob;
+    pf->target_blob += sh.target_blob;
+    for (size_t k = 1; k < sh.name_off.size(); k++)
+      pf->name_off.push_back(nb + sh.name_off[k]);
+    for (size_t k = 1; k < sh.target_off.size(); k++)
+      pf->target_off.push_back(tb + sh.target_off[k]);
+    pf->n_rows += sh.n_rows;
+  }
   return pf;
 }
 
 }  // namespace
 
-GCI_API void* gci_paf_open(const char* path) {
+GCI_API void* gci_paf_open(const char* path, int nthreads) {
   std::vector<uint8_t> raw;
   if (!read_file(path, raw)) return nullptr;
   std::vector<uint8_t> un;
@@ -833,7 +878,7 @@ GCI_API void* gci_paf_open(const char* path) {
     p = (const char*)un.data();
     n = un.size();
   }
-  return paf_parse(p, n);
+  return paf_parse(p, n, nthreads);
 }
 
 GCI_API void gci_paf_free(void* h) { delete (PackedPaf*)h; }

@@ -123,7 +123,7 @@ def run_filter(
     if paf_files:
         paf_masked = []
         for path in paf_files:
-            paf = read_paf(path)
+            paf = read_paf(path, threads=threads)
             in_targets = np.array(
                 [t in target_ids for t in paf.targets], dtype=bool
             )
