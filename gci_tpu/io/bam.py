@@ -142,6 +142,8 @@ class BamChunk:
     columns: dict[str, np.ndarray]
     name_keys: np.ndarray  # (n, 2) uint64
     names: list[bytes] | None = None
+    body: bytes | None = None  # raw record bytes (keep_raw streams)
+    record_offsets: np.ndarray | None = None
 
     @property
     def n_records(self) -> int:
@@ -171,6 +173,7 @@ class BamStream:
         keep_names: bool = False,
         comp_range: tuple[int, int] | None = None,
         chunk_bytes: int = 64 << 20,
+        keep_raw: bool = False,
     ):
         self._path = path
         self._native = None
@@ -181,6 +184,7 @@ class BamStream:
             self._native = NativeBamStream(
                 path, nthreads=threads, keep_names=keep_names,
                 comp_range=comp_range, chunk_bytes=chunk_bytes,
+                keep_raw=keep_raw,
             )
             self.references = self._native.references
             self.lengths = self._native.lengths
@@ -190,7 +194,7 @@ class BamStream:
                 raise  # range shards need the native reader
             # pure-Python fallback: whole file as a single chunk
             self._fallback = _read_bam_python(
-                path, keep_names=keep_names, keep_raw=False
+                path, keep_names=keep_names, keep_raw=keep_raw
             )
             self.references = self._fallback.references
             self.lengths = self._fallback.lengths
@@ -203,7 +207,8 @@ class BamStream:
         if self._fallback is not None:
             fb = self._fallback
             yield BamChunk(
-                columns=fb.columns, name_keys=fb.name_keys, names=fb.names
+                columns=fb.columns, name_keys=fb.name_keys, names=fb.names,
+                body=fb.body, record_offsets=fb.record_offsets,
             )
             return
         from gci_tpu.io.names import key128
@@ -213,6 +218,8 @@ class BamStream:
                 columns=ch.columns,
                 name_keys=key128(ch.name_hash, ch.name_hash2),
                 names=ch.names,
+                body=ch.body,
+                record_offsets=ch.record_offsets,
             )
 
     def close(self) -> None:

@@ -135,6 +135,7 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.gci_bam_stream_open.restype = c.c_void_p
     lib.gci_bam_stream_open.argtypes = [
         c.c_char_p, c.c_int, c.c_int, c.c_int64, c.c_int64, c.c_int64,
+        c.c_int,
     ]
     lib.gci_bam_stream_free.argtypes = [c.c_void_p]
     lib.gci_bam_stream_error.restype = c.c_char_p
@@ -156,6 +157,9 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.gci_chunk_copy_columns.argtypes = [c.c_void_p] + [i32p] * 13 + [u64p, u64p]
     lib.gci_chunk_name_blob_size.restype = c.c_int64
     lib.gci_chunk_name_blob_size.argtypes = [c.c_void_p]
+    lib.gci_chunk_body_size.restype = c.c_int64
+    lib.gci_chunk_body_size.argtypes = [c.c_void_p]
+    lib.gci_chunk_copy_body.argtypes = [c.c_void_p, u8p, i64p]
     lib.gci_chunk_copy_names.argtypes = [c.c_void_p, u8p, i64p]
 
 
@@ -474,9 +478,10 @@ def scan_fasta_native(path: str) -> tuple[dict[str, int], dict[str, list[tuple[i
 class NativeBamChunk:
     """Packed columns for one streamed batch of BAM records."""
 
-    __slots__ = ("columns", "name_hash", "name_hash2", "names")
+    __slots__ = ("columns", "name_hash", "name_hash2", "names", "body",
+                 "record_offsets")
 
-    def __init__(self, lib, handle, keep_names: bool):
+    def __init__(self, lib, handle, keep_names: bool, keep_raw: bool = False):
         try:
             n = int(lib.gci_chunk_num_records(handle))
             cols = {
@@ -514,6 +519,19 @@ class NativeBamChunk:
                 self.names = [
                     raw[offs[i]: offs[i + 1]] for i in range(n)
                 ]
+            self.body = None
+            self.record_offsets = None
+            if keep_raw:
+                bsize = lib.gci_chunk_body_size(handle)
+                body = np.empty(max(bsize, 1), dtype=np.uint8)
+                roffs = np.empty(max(n, 1), dtype=np.int64)
+                if n:
+                    lib.gci_chunk_copy_body(
+                        handle, _as_ptr(body, ctypes.c_uint8),
+                        _as_ptr(roffs, ctypes.c_int64),
+                    )
+                self.body = body[:bsize].tobytes()
+                self.record_offsets = roffs[:n]
         finally:
             lib.gci_chunk_free(handle)
 
@@ -540,13 +558,16 @@ class NativeBamStream:
         keep_names: bool = False,
         comp_range: tuple[int, int] | None = None,
         chunk_bytes: int = 64 << 20,
+        keep_raw: bool = False,
     ):
         lib = get_lib()
         self._lib = lib
         self._keep_names = keep_names
+        self._keep_raw = keep_raw
         start, end = comp_range if comp_range is not None else (0, -1)
         h = lib.gci_bam_stream_open(
-            path.encode(), nthreads, int(keep_names), start, end, chunk_bytes
+            path.encode(), nthreads, int(keep_names), start, end, chunk_bytes,
+            int(keep_raw),
         )
         if not h:
             raise OSError(f"cannot open BAM file: {path}")
@@ -577,7 +598,7 @@ class NativeBamStream:
                 if err:
                     raise ValueError(err.decode())
                 return
-            yield NativeBamChunk(self._lib, ch, self._keep_names)
+            yield NativeBamChunk(self._lib, ch, self._keep_names, self._keep_raw)
 
     def close(self) -> None:
         if getattr(self, "_h", None):

@@ -1754,6 +1754,10 @@ struct StreamChunk {
   std::vector<uint64_t> h1, h2;
   std::vector<int64_t> name_off;  // n+1 when keep_names
   std::string name_blob;
+  // raw record bytes (keep_raw): rec_off[i] points at record i's
+  // block_size field within body
+  std::vector<uint8_t> body;
+  std::vector<int64_t> rec_off;
 };
 
 enum RecCheck { REC_BAD = 0, REC_PENDING = 1, REC_VALID = 2 };
@@ -1812,6 +1816,7 @@ struct BamStream {
   FILE* f = nullptr;
   int nthreads = 2;
   bool keep_names = false;
+  bool keep_raw = false;
   int64_t coff_limit = -1;  // records starting at block coff >= this are not ours
   size_t chunk_target = 64u << 20;  // inflated bytes per chunk
   // header
@@ -2169,6 +2174,14 @@ static StreamChunk* stream_build_chunk(BamStream* bs) {
     ch->name_blob.reserve(tb);
     for (auto& b : blobs) ch->name_blob += b;
   }
+  if (bs->keep_raw && nrec) {
+    size_t lo = offs.front();
+    size_t hi = offs.back() + 4ull + rd_u32(buf + offs.back());
+    ch->body.assign(buf + lo, buf + hi);
+    ch->rec_off.resize(nrec);
+    for (size_t i = 0; i < nrec; i++)
+      ch->rec_off[i] = (int64_t)(offs[i] - lo);
+  }
   return ch;
 }
 
@@ -2333,10 +2346,12 @@ static bool stream_scan_block_boundary(BamStream* bs) {
 
 GCI_API void* gci_bam_stream_open(const char* path, int nthreads,
                                   int keep_names, int64_t coff_start,
-                                  int64_t coff_end, int64_t chunk_bytes) {
+                                  int64_t coff_end, int64_t chunk_bytes,
+                                  int keep_raw) {
   auto* bs = new BamStream();
   bs->nthreads = nthreads > 0 ? nthreads : 1;
   bs->keep_names = keep_names != 0;
+  bs->keep_raw = keep_raw != 0;
   if (chunk_bytes > 0) bs->chunk_target = (size_t)chunk_bytes;
   bs->f = fopen(path, "rb");
   if (!bs->f) {
@@ -2444,6 +2459,15 @@ GCI_API void gci_chunk_copy_columns(void* h, int32_t* ref_id, int32_t* pos,
   cp(nm, c->nm);
   if (h1 && n) memcpy(h1, c->h1.data(), n * sizeof(uint64_t));
   if (h2 && n) memcpy(h2, c->h2.data(), n * sizeof(uint64_t));
+}
+GCI_API int64_t gci_chunk_body_size(void* h) {
+  return (int64_t)((StreamChunk*)h)->body.size();
+}
+GCI_API void gci_chunk_copy_body(void* h, uint8_t* out, int64_t* offs) {
+  auto* c = (StreamChunk*)h;
+  if (out && !c->body.empty()) memcpy(out, c->body.data(), c->body.size());
+  if (offs && !c->rec_off.empty())
+    memcpy(offs, c->rec_off.data(), c->rec_off.size() * sizeof(int64_t));
 }
 GCI_API int64_t gci_chunk_name_blob_size(void* h) {
   return (int64_t)((StreamChunk*)h)->name_blob.size();

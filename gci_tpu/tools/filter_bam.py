@@ -2,8 +2,9 @@
 
 Runs the read-level filter cascade and writes the surviving alignments to new
 coordinate-sorted, BAI-indexed BAM files — natively (no samtools/pysam):
-the sort is an in-memory record sort and the index comes from
-gci_tpu.io.bai.
+two bounded-memory streaming passes over each input (packed columns for the
+cascade, then raw record bytes for the survivors), an in-memory sort of the
+surviving records only, and a BAI from gci_tpu.io.bai.
 
 Behavioral notes vs the main pipeline, faithfully reproduced:
 * this tool uses the *older* filter formulas without =/X cigar ops:
@@ -26,7 +27,7 @@ import numpy as np
 
 from gci_tpu.filters import CurationInput, curate_files, dedup_last_wins
 from gci_tpu.filters.cascade import high_qual_keys
-from gci_tpu.io.bam import FLAG_SECONDARY, FLAG_SUPPLEMENTARY, FLAG_UNMAPPED, read_bam
+from gci_tpu.io.bam import BamStream, FLAG_SECONDARY, FLAG_SUPPLEMENTARY, FLAG_UNMAPPED
 from gci_tpu.io.bam_writer import bgzf_compress, build_header, sort_record_blobs
 from gci_tpu.io.names import hash_names, keys_view
 from gci_tpu.io.paf import read_paf
@@ -107,14 +108,17 @@ def run_filter_bam(
             raise SystemExit
         output_names.append(name)
 
-    bams = [read_bam(f, threads=threads, keep_names=False, keep_raw=True) for f in bam_files]
-    targets = dict(zip(bams[0].references, bams[0].lengths))
+    # pass 1: stream packed columns per file (bounded memory; the raw
+    # record bytes are re-streamed in pass 2 for the survivors only)
+    bam_meta = []  # (references, lengths, header_text) per file
+    with BamStream(bam_files[0], threads=threads) as st0:
+        targets = dict(zip(st0.references, st0.lengths))
     target_ids = {t: i for i, t in enumerate(targets)}
 
     hq_parts = []
     inputs = []
     if paf_files:
-        pafs = [read_paf(p) for p in paf_files]
+        pafs = [read_paf(p, threads=threads) for p in paf_files]
         masked = []
         for paf in pafs:
             # NB filter_bam.py:104-131 has no target-membership restriction
@@ -134,29 +138,53 @@ def run_filter_bam(
                     np.array([vals[k][3] for k in keep], dtype=np.int64),
                 )
             )
-    for bam in bams:
-        # map this bam's ref ids onto bams[0]'s table (names are the join key)
-        l2g = np.full(len(bam.references) + 1, -1, dtype=np.int32)
-        for j, name in enumerate(bam.references):
-            if name in target_ids:
-                l2g[j] = target_ids[name]
-        rid = bam.columns["ref_id"]
-        gtid = np.where(
-            (rid >= 0) & (rid < len(bam.references)), l2g[np.clip(rid, 0, None)], -1
-        )
-        mask = (gtid >= 0) & legacy_bam_filter_mask(
-            bam.columns, map_qual, clip_percent, iden_percent
-        )
-        hq_parts.append(high_qual_keys(bam.name_keys, mask, bam.columns["mapq"], mq_cutoff))
-        surv = dedup_last_wins(bam.name_keys, mask)
-        inputs.append(
-            CurationInput(
-                bam.name_keys[surv],
-                gtid[surv],
-                bam.columns["pos"][surv].astype(np.int64),
-                bam.columns["ref_end"][surv].astype(np.int64),
-                bam.columns["qlen"][surv].astype(np.int64),
+    for f in bam_files:
+        cand = []
+        with BamStream(f, threads=threads) as stream:
+            bam_meta.append(
+                (stream.references, stream.lengths, stream.header_text)
             )
+            # map this bam's ref ids onto file 0's table (names join)
+            l2g = np.full(len(stream.references) + 1, -1, dtype=np.int32)
+            for j, name in enumerate(stream.references):
+                if name in target_ids:
+                    l2g[j] = target_ids[name]
+            for chunk in stream:
+                rid = chunk.columns["ref_id"]
+                gtid = np.where(
+                    (rid >= 0) & (rid < len(stream.references)),
+                    l2g[np.clip(rid, 0, None)], -1,
+                )
+                mask = (gtid >= 0) & legacy_bam_filter_mask(
+                    chunk.columns, map_qual, clip_percent, iden_percent
+                )
+                hq_parts.append(
+                    high_qual_keys(
+                        chunk.name_keys, mask, chunk.columns["mapq"], mq_cutoff
+                    )
+                )
+                idx = np.flatnonzero(mask)
+                if idx.size:
+                    cand.append((
+                        chunk.name_keys[idx],
+                        gtid[idx].astype(np.int32),
+                        chunk.columns["pos"][idx].astype(np.int64),
+                        chunk.columns["ref_end"][idx].astype(np.int64),
+                        chunk.columns["qlen"][idx].astype(np.int64),
+                    ))
+        if cand:
+            keys = np.concatenate([c[0] for c in cand])
+            tid = np.concatenate([c[1] for c in cand])
+            ps = np.concatenate([c[2] for c in cand])
+            pe = np.concatenate([c[3] for c in cand])
+            ql = np.concatenate([c[4] for c in cand])
+        else:
+            keys = np.empty((0, 2), dtype=np.uint64)
+            tid = np.empty(0, dtype=np.int32)
+            ps = pe = ql = np.empty(0, dtype=np.int64)
+        surv = dedup_last_wins(keys, np.ones(keys.shape[0], dtype=bool))
+        inputs.append(
+            CurationInput(keys[surv], tid[surv], ps[surv], pe[surv], ql[surv])
         )
     non_empty = [p for p in hq_parts if p.size]
     hq = (
@@ -166,19 +194,17 @@ def run_filter_bam(
     )
     curated = curate_files(inputs, hq, ovlp_percent)
 
-    # re-fetch survivors per bam and export (filter_bam.py:196-210)
-    for k, bam in enumerate(bams):
-        l2g = np.full(len(bam.references) + 1, -1, dtype=np.int32)
-        for j, name in enumerate(bam.references):
+    # re-fetch survivors per bam and export (filter_bam.py:196-210):
+    # second streaming pass with raw record bytes, keeping only survivors
+    for k, f in enumerate(bam_files):
+        refs, lens, header_text = bam_meta[k]
+        l2g = np.full(len(refs) + 1, -1, dtype=np.int32)
+        for j, name in enumerate(refs):
             if name in target_ids:
                 l2g[j] = target_ids[name]
-        rid = bam.columns["ref_id"]
-        gtid = np.where(
-            (rid >= 0) & (rid < len(bam.references)), l2g[np.clip(rid, 0, None)], -1
-        )
-        blobs = _select_survivors(bam, gtid, curated, map_qual)
+        blobs = _select_survivors_streamed(f, threads, refs, l2g, curated, map_qual)
         blobs = sort_record_blobs(blobs)
-        _write_indexed_bam(output_names[k], bam, blobs, threads)
+        _write_indexed_bam(output_names[k], refs, lens, header_text, blobs, threads)
 
     if plot and (region is not None or regions_file is not None):
         from gci_tpu.viz.snap import snapshot_regions
@@ -198,52 +224,56 @@ def run_filter_bam(
     return output_names
 
 
-def _select_survivors(bam, gtid, curated, map_qual):
-    """First coordinate-ordered record per curated query overlapping its extent."""
-    flag = bam.columns["flag"]
-    basic = (
-        (flag & (FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) == 0
-    ) & (bam.columns["mapq"] >= map_qual)
+def _select_survivors_streamed(path, threads, refs, l2g, curated, map_qual):
+    """First coordinate-ordered record per curated query overlapping its
+    extent — streamed with raw record bytes, O(chunk + survivors) memory."""
     state_keys = curated.keys
     if state_keys is None or state_keys.size == 0:
         return []
-    v = keys_view(bam.name_keys)
-    pos = np.searchsorted(state_keys, v)
-    pos_c = np.minimum(pos, max(state_keys.shape[0] - 1, 0))
-    matched = state_keys[pos_c] == v if state_keys.size else np.zeros(v.shape[0], bool)
-    tid = curated.target_id[pos_c]
-    s = curated.start[pos_c]
-    e = curated.end[pos_c]
-    cand = (
-        matched
-        & basic
-        & (gtid == tid)
-        & (bam.columns["pos"].astype(np.int64) < e)
-        & (bam.columns["ref_end"].astype(np.int64) > s)
-    )
-    idx = np.flatnonzero(cand)
-    if idx.size == 0:
-        return []
-    # first record in file (=coordinate) order per state slot
-    first = {}
-    for i in idx.tolist():
-        slot = int(pos[i])
-        if slot not in first:
-            first[slot] = i
-    out = []
-    body = bam.body
-    offs = bam.record_offsets
-    for i in sorted(first.values()):
-        o = int(offs[i])
-        (size,) = struct.unpack_from("<I", body, o)
-        out.append(body[o : o + 4 + size])
-    return out
+    first: dict[int, bytes] = {}
+    with BamStream(path, threads=threads, keep_raw=True) as stream:
+        for chunk in stream:
+            rid = chunk.columns["ref_id"]
+            gtid = np.where(
+                (rid >= 0) & (rid < len(refs)), l2g[np.clip(rid, 0, None)], -1
+            )
+            flag = chunk.columns["flag"]
+            basic = (
+                (flag & (FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) == 0
+            ) & (chunk.columns["mapq"] >= map_qual)
+            v = keys_view(chunk.name_keys)
+            pos = np.searchsorted(state_keys, v)
+            pos_c = np.minimum(pos, max(state_keys.shape[0] - 1, 0))
+            matched = state_keys[pos_c] == v
+            tid = curated.target_id[pos_c]
+            s = curated.start[pos_c]
+            e = curated.end[pos_c]
+            cand = (
+                matched
+                & basic
+                & (gtid == tid)
+                & (chunk.columns["pos"].astype(np.int64) < e)
+                & (chunk.columns["ref_end"].astype(np.int64) > s)
+            )
+            idx = np.flatnonzero(cand)
+            if idx.size == 0:
+                continue
+            body = chunk.body
+            offs = chunk.record_offsets
+            for i in idx.tolist():
+                slot = int(pos[i])
+                if slot not in first:
+                    o = int(offs[i])
+                    (size,) = struct.unpack_from("<I", body, o)
+                    first[slot] = body[o : o + 4 + size]
+    # dict insertion order == file (= coordinate) order of first occurrence
+    return list(first.values())
 
 
-def _write_indexed_bam(path, bam, blobs, threads):
+def _write_indexed_bam(path, references, lengths, header_text, blobs, threads):
     from gci_tpu.io.bai import write_bai
 
-    header = build_header(bam.references, bam.lengths, bam.header_text or None)
+    header = build_header(references, lengths, header_text or None)
     payload_offsets = []
     payload_end_offsets = []
     ref_ids = []
@@ -268,7 +298,7 @@ def _write_indexed_bam(path, bam, blobs, threads):
         f.write(blob)
     write_bai(
         path + ".bai",
-        len(bam.references),
+        len(references),
         np.array(ref_ids, dtype=np.int64),
         np.array(starts, dtype=np.int64),
         np.array(ends, dtype=np.int64),
