@@ -236,3 +236,25 @@ def test_run_filter_chunked_matches_whole(big_bam, tmp_path, monkeypatch):
     for t in depths1:
         np.testing.assert_array_equal(depths1[t], depths2[t])
     assert (out1 / "t.depth.gz").read_bytes() == (out2 / "t.depth.gz").read_bytes()
+
+
+def test_stream_keep_raw_blob_parity(big_bam):
+    """keep_raw chunks carry raw record bytes identical to the whole-file
+    reader's body slices (the streaming filtered-BAM export contract)."""
+    import struct
+
+    from gci_tpu.io.bam import BamStream
+
+    whole = read_bam(big_bam, keep_names=False, keep_raw=True)
+    blobs_whole = []
+    for o in whole.record_offsets:
+        (size,) = struct.unpack_from("<I", whole.body, int(o))
+        blobs_whole.append(whole.body[int(o): int(o) + 4 + size])
+    blobs_stream = []
+    with BamStream(big_bam, threads=2, keep_raw=True, chunk_bytes=1 << 15) as st:
+        for c in st:
+            assert c.body is not None and c.record_offsets is not None
+            for o in c.record_offsets:
+                (size,) = struct.unpack_from("<I", c.body, int(o))
+                blobs_stream.append(c.body[int(o): int(o) + 4 + size])
+    assert blobs_stream == blobs_whole
