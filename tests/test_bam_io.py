@@ -258,3 +258,32 @@ def test_stream_keep_raw_blob_parity(big_bam):
                 (size,) = struct.unpack_from("<I", c.body, int(o))
                 blobs_stream.append(c.body[int(o): int(o) + 4 + size])
     assert blobs_stream == blobs_whole
+
+
+def test_stream_empty_bam(tmp_path):
+    from gci_tpu.io.bam import BamStream
+
+    p = str(tmp_path / "empty.bam")
+    make_bam(p, REFS, LENS, [])
+    with BamStream(p, threads=2) as st:
+        assert st.references == REFS
+        chunks = list(st)
+    assert sum(c.n_records for c in chunks) == 0
+    bam = read_bam(p)
+    assert bam.n_records == 0
+
+
+def test_stream_range_inside_header(big_bam):
+    """A shard whose byte range covers only header blocks yields 0 records
+    (and does not steal records from the neighbouring shard)."""
+    import os
+
+    from gci_tpu.io.bam import BamStream
+
+    fsize = os.path.getsize(big_bam)
+    with BamStream(big_bam, threads=2, comp_range=(0, 100)) as st:
+        n0 = sum(c.n_records for c in st)
+    with BamStream(big_bam, threads=2, comp_range=(100, fsize)) as st:
+        n1 = sum(c.n_records for c in st)
+    whole = read_bam(big_bam)
+    assert n0 + n1 == whole.n_records
