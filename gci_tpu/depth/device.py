@@ -208,6 +208,11 @@ def make_sharded_depth_fn(mesh: Mesh, total_slots: int):
             mesh=mesh,
             in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
             out_specs=P("gp"),
+            # the pallas scan inside _local_prefix_sum has no vma
+            # annotation on its out_shape; with the default check_vma=True
+            # jax rejects it on real TPU shards (CPU tests take the cumsum
+            # path and never see it)
+            check_vma=False,
         )
     )
 
