@@ -550,9 +550,9 @@ def main():
     dv_b = e2e["device"]["backend_stages_s"]
     e2e["auto_default"] = (
         f"events: backend stages {ev_b}s vs device {dv_b}s — the device path "
-        "pays per-call tunnel dispatch that a colocated TPU host would not; "
-        "e2e is bam_pack-bound either way on this "
-        f"{os.cpu_count()}-vCPU host"
+        "pays per-call tunnel dispatch that a colocated TPU host would not "
+        f"(host stages: streaming pack + checkpoint deflate on this "
+        f"{os.cpu_count()}-vCPU host)"
         if ev_b <= dv_b
         else f"device: backend stages {dv_b}s vs events {ev_b}s — flip auto"
     )
