@@ -90,3 +90,15 @@ def test_resolve_auto_backend_env_override(monkeypatch):
         resolve_auto_backend(default_backend="tpu", dispatch_latency=0.0001)
         == "numpy"
     )
+
+
+def test_resolve_auto_backend_tunnel_platform_no_device_touch(monkeypatch):
+    """A tunnel plugin (axon) in the platform list resolves to events from
+    the environment alone — initializing a remote backend just to pick the
+    host backend measured 233s."""
+    import gci_tpu.depth as d
+
+    monkeypatch.setattr(d, "_AUTO_RESOLVED", None)
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.delenv("GCI_AUTO_BACKEND", raising=False)
+    assert d.resolve_auto_backend() == "events"
