@@ -20,8 +20,10 @@ Measured shape facts (r3, v5e, 0.5G slots, rows=2048):
     20.4 ms with the broadcast form in ``_row_carry_bcast``) — keep every
     hot op a full-width (R, 128) tile;
   * the MXU lane-scan matmul vs a VPU roll chain is wall-clock neutral;
-  * rows=4096/8192 measured worse (and exceed the 16 MiB scoped-vmem
-    default); rows=2048 (1 MiB int32 blocks) is the empirical sweet spot.
+  * block height is neutral for THIS kernel: rows=4096 (vmem limit raised
+    via ``_grid_params``) measures 24.9 vs 25.6 ms — even though a
+    2-stream copy kernel doubles to ~495 GB/s at rows=4096, the 7-stream
+    masked kernel does not follow; rows=2048 stays the default.
 
 The chunk-boundary mask dependency (``prev`` of the first element) is exact:
 depth just before a chunk IS the carry, and the previous slot's scan-window
@@ -46,6 +48,16 @@ DEF_ROWS = 2048  # chunk = ROWS*LANES elements (2048*128 = 256Ki = 1 MiB int32)
 # Mosaic the grid dimension is parallel — enables DMA pipelining/reordering
 # instead of strictly sequential iteration
 _PARALLEL_GRID = pltpu.CompilerParams(dimension_semantics=("parallel",))
+
+
+def _grid_params(rows: int):
+    """Compiler params for a given block height: blocks past 2048 rows
+    exceed the 16 MiB scoped-vmem default once double-buffered."""
+    if rows <= 2048:
+        return _PARALLEL_GRID
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel",), vmem_limit_bytes=100 * 1024 * 1024
+    )
 
 
 def _lane_inclusive_scan_rolls(x):
@@ -214,7 +226,7 @@ def depth_scan(delta: jax.Array, rows: int = DEF_ROWS, interpret: bool = False):
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int32)],
-        compiler_params=None if interpret else _PARALLEL_GRID,
+        compiler_params=None if interpret else _grid_params(rows),
         interpret=interpret,
     )(carry, d2)
     return depth.reshape(total)
@@ -290,7 +302,7 @@ def fused_depth_scan(
             jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int8),
             jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int8),
         ],
-        compiler_params=None if interpret else _PARALLEL_GRID,
+        compiler_params=None if interpret else _grid_params(rows),
         interpret=interpret,
     )(carry, seed_valid, lo, hi, d2, v2)
     return (
@@ -383,7 +395,7 @@ def fused_depth_scan_masked(
             jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int8),
             jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int8),
         ],
-        compiler_params=None if interpret else _PARALLEL_GRID,
+        compiler_params=None if interpret else _grid_params(rows),
         interpret=interpret,
     )(carry, seed_valid, seed_gap, lo, hi, d2, g2, v2)
     return (
