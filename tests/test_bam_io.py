@@ -287,3 +287,16 @@ def test_stream_range_inside_header(big_bam):
         n1 = sum(c.n_records for c in st)
     whole = read_bam(big_bam)
     assert n0 + n1 == whole.n_records
+
+
+def test_stream_corrupt_bgzf_errors(big_bam, tmp_path):
+    from gci_tpu.io.bam import BamStream
+
+    data = bytearray(open(big_bam, "rb").read())
+    # wreck a BGZF header magic in the middle of the record stream
+    data[len(data) // 2] ^= 0xFF
+    p = str(tmp_path / "corrupt.bam")
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(ValueError):
+        with BamStream(p, threads=2, chunk_bytes=1 << 15) as st:
+            list(st)
