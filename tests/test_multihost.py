@@ -267,3 +267,72 @@ def test_two_process_dual_type_with_paf_matches_single_process(tmp_path):
         "M_hifi.0.depth.bed", "M_nano.0.depth.bed", "M_two_type.0.depth.bed",
         "M.gci", "M.regions.gci", "M.gaps.bed",
     ])
+
+
+def test_three_process_sharded_cli_matches_single_process(tmp_path):
+    """3 hosts: the MIDDLE input shard resyncs records on both sides of its
+    byte range, and the allgather reconciliation runs with 3 ranks."""
+    rng = np.random.default_rng(0xD15A)
+    ref = str(tmp_path / "ref.fa")
+    make_fasta(ref, [(r, "".join(rng.choice(list("ACGT"), size=L)))
+                     for r, L in zip(REFS, LENS)])
+    bam = str(tmp_path / "hifi.bam")
+    make_bam(bam, REFS, LENS, random_reads(rng, REFS, LENS, 900, name_prefix="h"))
+
+    d_ref = str(tmp_path / "single")
+    run_gci(hifi=[bam], reference=ref, directory=d_ref, prefix="M",
+            depth_backend="events")
+
+    d_mh = str(tmp_path / "multi")
+    port = _free_port()
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+    )
+    boot = str(tmp_path / "boot.py")
+    with open(boot, "w") as f:
+        f.write(
+            "import sys\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "from gci_tpu.cli import main\n"
+            "main(sys.argv[1:])\n"
+        )
+    procs = []
+    for pid in range(3):
+        cmd = [
+            sys.executable, boot,
+            "-r", ref, "--hifi", bam, "-d", d_mh, "-o", "M", "--profile",
+            "--device", "sharded", "--mesh", "3,4",
+            "--coordinator", f"127.0.0.1:{port}",
+            "--num-processes", "3", "--process-id", str(pid),
+        ]
+        procs.append(
+            subprocess.Popen(
+                cmd, env=env, cwd=REPO_ROOT,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-4000:]
+
+    _diff(d_ref, d_mh, ["M.depth.gz", "M.0.depth.bed", "M.gci"])
+
+    import json
+
+    packed = []
+    for out in outs:
+        items = [
+            json.loads(line)["items"]
+            for line in out.splitlines()
+            if line.startswith("{") and "bam_pack" in line
+        ]
+        assert len(items) == 1, out[-2000:]
+        packed.append(items[0])
+    assert sum(packed) == 900, packed
+    assert all(n > 0 for n in packed), packed
