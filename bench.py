@@ -323,6 +323,19 @@ def run_chm13_child():
     stages = {r.name: round(r.seconds, 3) for r in get_metrics().records}
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
+    # whole-genome hardware parity: the streamed (TPU) outputs must be
+    # byte-identical to an independent host events-backend run
+    ev_dir = os.path.join(E2E_DIR, "out_chm13_events")
+    run_gci(
+        hifi=[bam], reference=ref, directory=ev_dir, prefix="C", force=True,
+        threads=os.cpu_count() or 1, depth_backend="events",
+    )
+    streamed_parity = all(
+        open(os.path.join(outdir, f), "rb").read()
+        == open(os.path.join(ev_dir, f), "rb").read()
+        for f in ("C.depth.gz", "C.0.depth.bed", "C.gci")
+    )
+
     # resume from the checkpoint: O(runs) run-space decode, byte-equal .gci
     t0 = time.perf_counter()
     from gci_tpu.tools.score_only import main as score_main
@@ -368,6 +381,7 @@ def run_chm13_child():
         },
         "peak_rss_gb": round(rss_gb, 2),
         "rss_o_runs_ok": rss_gb < 10.0,  # per-base would need >= 25 GB
+        "streamed_vs_events_parity": streamed_parity,
         "resume_wall_s": round(resume_wall, 1),
         "resume_gci_match": resume_match,
         "peak_rss_after_resume_gb": round(rss_after_gb, 2),
