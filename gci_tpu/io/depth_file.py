@@ -259,7 +259,65 @@ def _target_text(vals) -> bytes:
         return _encode_uint_lines(np.asarray(vals, dtype=np.int64))
 
 
-def write_depth_gz(path: str, depths: dict, compresslevel: int = 6) -> None:
+def _target_runs(vals) -> tuple[np.ndarray, np.ndarray]:
+    """(values, counts) run-length form of one target's depth."""
+    from gci_tpu.depth.eventspace import DepthEvents
+
+    if isinstance(vals, DepthEvents):
+        return vals.run_lengths()
+    a = np.asarray(vals, dtype=np.int64)
+    if a.shape[0] == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    b = np.flatnonzero(np.diff(a) != 0) + 1
+    bounds = np.concatenate(([0], b))
+    counts = np.diff(np.concatenate((bounds, [a.shape[0]])))
+    return a[bounds], counts
+
+
+def _write_depth_gz_distributed(path: str, depths: dict, compresslevel: int) -> None:
+    """Multi-host checkpoint write: every host compresses a disjoint BGZF
+    block range of every target, the primary concatenates.
+
+    The runs->BGZF encoder frames blocks at fixed uncompressed byte offsets,
+    so per-range outputs concatenate to exactly the single-writer bytes
+    (asserted by tests/test_multihost.py).  The TPU-native version of the
+    reference's per-chunk gzip fan-out + ``cat`` (GCI.py:99-143) — spread
+    over hosts, not just one host's cores.
+    """
+    import jax
+
+    from gci_tpu.native import (
+        bgzf_eof_native,
+        depth_runs_bgzf_nblocks_native,
+        depth_runs_to_bgzf_range_native,
+    )
+    from gci_tpu.parallel.distributed import allgather_concat, is_primary_host
+
+    h, H = jax.process_index(), jax.process_count()
+    nthreads = os.cpu_count() or 1
+    local: list[np.ndarray] = []
+    runs = {t: _target_runs(v) for t, v in depths.items()}
+    for target, (values, counts) in runs.items():
+        header = b">" + target.encode() + b"\n"
+        nblocks = depth_runs_bgzf_nblocks_native(values, counts, len(header))
+        lo = nblocks * h // H
+        hi = nblocks * (h + 1) // H if h < H - 1 else nblocks
+        blob = depth_runs_to_bgzf_range_native(
+            values, counts, header, lo, hi, compresslevel, nthreads
+        )
+        local.append(np.frombuffer(blob, dtype=np.uint8))
+    # one gather per target: blob lengths differ per target, and
+    # allgather_concat sizes its padding off a single shared row count
+    gathered = [allgather_concat([arr])[0] for arr in local]
+    if not is_primary_host():
+        return
+    with open(path, "wb") as f:
+        for blob in gathered:
+            f.write(blob.tobytes())
+        f.write(bgzf_eof_native())
+
+
+def write_depth_gz(path: str, depths: dict, compresslevel: int = 1) -> None:
     """Write the .depth.gz checkpoint (content-identical to GCI.py:113-117).
 
     The reference shards the file into per-chunk gzip members concatenated by
@@ -267,10 +325,18 @@ def write_depth_gz(path: str, depths: dict, compresslevel: int = 6) -> None:
     stream, so a single member with identical decompressed bytes is
     format-compatible.  Values may be per-base arrays or event-space
     ``DepthEvents`` (run-length encoded straight to text, no per-base
-    materialization).
+    materialization).  On a multi-host run the BGZF blocks are compressed by
+    all hosts in disjoint ranges and concatenated by the primary — byte-
+    identical to the single-writer file.
+
+    ``compresslevel <= 1`` (the default) selects the RLE token codec: deflate
+    streams are constructed directly from the run structure (O(tokens)) and
+    the CRC from GF(2) shift algebra — the multi-GB per-base text never
+    exists.  ~4x larger output than libdeflate level 6 on depth text but an
+    order of magnitude faster; any gzip reader (including the reference's,
+    GCI_score.py:11-39) inflates it unchanged.  Levels >= 2 use libdeflate.
     """
     from gci_tpu.depth.base import ResidentDepth
-    from gci_tpu.depth.eventspace import DepthEvents
 
     if isinstance(depths, ResidentDepth):
         # device-resident depth: pull only run boundaries (O(runs)), feed the
@@ -278,38 +344,39 @@ def write_depth_gz(path: str, depths: dict, compresslevel: int = 6) -> None:
         # All processes participate in the readback collectives; only the
         # primary host touches the filesystem.
         depths = depths.to_events()
-    from gci_tpu.parallel.distributed import is_primary_host
+    from gci_tpu.parallel.distributed import is_primary_host, process_count
+
+    if process_count() > 1:
+        try:
+            _write_depth_gz_distributed(path, depths, compresslevel)
+            return
+        except (ImportError, OSError):
+            pass  # no native codec: fall through to the single-writer path
 
     if not is_primary_host():
         return
 
     try:
         from gci_tpu.native import (
-            bgzf_compress_native,
             bgzf_eof_native,
             depth_runs_to_bgzf_native,
         )
 
         # BGZF framing: still a valid gzip stream for the reference readers,
-        # but block-indexed so our reader can inflate it in parallel.
-        # Event-space targets stream through the fused C++ encode+compress
-        # (the expanded per-base text never crosses into Python); per-base
-        # arrays take the text-then-compress path.
+        # but block-indexed so our reader can inflate it in parallel.  Every
+        # target goes through the fused C++ runs->BGZF encoder (per-base
+        # arrays are run-length collapsed first) so the single-writer bytes
+        # match the distributed writer's exactly.
         nthreads = os.cpu_count() or 1
         with open(path, "wb") as f:
             for target, vals in depths.items():
                 header = b">" + target.encode() + b"\n"
-                if isinstance(vals, DepthEvents):
-                    values, counts = vals.run_lengths()
-                    f.write(
-                        depth_runs_to_bgzf_native(
-                            values, counts, header, compresslevel, nthreads
-                        )
+                values, counts = _target_runs(vals)
+                f.write(
+                    depth_runs_to_bgzf_native(
+                        values, counts, header, compresslevel, nthreads
                     )
-                else:
-                    text = header + _target_text(vals)
-                    blob = bgzf_compress_native(text, compresslevel, nthreads)
-                    f.write(blob[:-28])  # strip the per-call EOF block
+                )
             f.write(bgzf_eof_native())
         return
     except (ImportError, OSError):

@@ -76,6 +76,10 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.gci_druns_copy_target.argtypes = [c.c_void_p, c.c_int64, i64p, i64p]
     lib.gci_depth_runs_to_bgzf.restype = c.c_void_p
     lib.gci_depth_runs_to_bgzf.argtypes = [i64p, i64p, c.c_int64, u8p, c.c_int64, c.c_int, c.c_int]
+    lib.gci_depth_runs_to_bgzf_range.restype = c.c_void_p
+    lib.gci_depth_runs_to_bgzf_range.argtypes = [i64p, i64p, c.c_int64, u8p, c.c_int64, c.c_int, c.c_int, c.c_int64, c.c_int64]
+    lib.gci_depth_runs_bgzf_nblocks.restype = c.c_int64
+    lib.gci_depth_runs_bgzf_nblocks.argtypes = [i64p, c.c_int64, i64p, c.c_int64]
     lib.gci_bgzf_eof_block.restype = c.c_void_p
     lib.gci_bgzf_eof_block.argtypes = []
     lib.gci_bam_open.restype = c.c_void_p
@@ -286,6 +290,43 @@ def depth_runs_to_bgzf_native(
         _as_ptr(vals, ctypes.c_int64), _as_ptr(counts, ctypes.c_int64),
         vals.shape[0], _as_ptr(hdr, ctypes.c_uint8), hdr.shape[0],
         level, nthreads,
+    )
+    return _take_buffer(lib, h)
+
+
+def depth_runs_bgzf_nblocks_native(
+    vals: np.ndarray, counts: np.ndarray, header_len: int
+) -> int:
+    """BGZF block count the runs->BGZF encoder will emit for this stream."""
+    lib = get_lib()
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    return int(
+        lib.gci_depth_runs_bgzf_nblocks(
+            _as_ptr(counts, ctypes.c_int64), counts.shape[0],
+            _as_ptr(vals, ctypes.c_int64), header_len,
+        )
+    )
+
+
+def depth_runs_to_bgzf_range_native(
+    vals: np.ndarray, counts: np.ndarray, header: bytes,
+    block_lo: int, block_hi: int, level: int = 6, nthreads: int = 4,
+) -> bytes:
+    """BGZF blocks [block_lo, block_hi) of the (header + runs) stream.
+
+    Framing is deterministic in uncompressed byte offsets, so disjoint
+    ranges (compressed on different hosts) concatenate to exactly the
+    single-call ``depth_runs_to_bgzf_native`` output.
+    """
+    lib = get_lib()
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    hdr = np.frombuffer(header, dtype=np.uint8)
+    h = lib.gci_depth_runs_to_bgzf_range(
+        _as_ptr(vals, ctypes.c_int64), _as_ptr(counts, ctypes.c_int64),
+        vals.shape[0], _as_ptr(hdr, ctypes.c_uint8), hdr.shape[0],
+        level, nthreads, block_lo, block_hi,
     )
     return _take_buffer(lib, h)
 

@@ -32,6 +32,7 @@
 #include <mutex>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 #define GCI_API extern "C" __attribute__((visibility("default")))
@@ -1304,19 +1305,192 @@ GCI_API void* gci_depth_encode_runs(const int64_t* vals, const int64_t* counts,
 // its 64KB block's text straight from the run list (binary-searched byte
 // offsets + pattern fill), so expansion AND deflate both parallelize and
 // the only O(genome) memory is the compressed output.
-GCI_API void* gci_depth_runs_to_bgzf(const int64_t* vals,
-                                     const int64_t* counts, int64_t n,
-                                     const uint8_t* header,
-                                     int64_t header_len, int level,
-                                     int nthreads) {
+//
+// Framing is deterministic in uncompressed byte offsets (block bi covers
+// text bytes [bi*0xff00, (bi+1)*0xff00)), so disjoint [block_lo, block_hi)
+// ranges compressed independently (even on different hosts) concatenate to
+// the exact bytes a single whole-stream call produces — the distributed
+// checkpoint writer relies on this.  The reference's analogue is its
+// per-chunk gzip fan-out + `cat` (GCI.py:99-143).
+//
+// A per-worker cache keys fully-interior blocks (one run covers the whole
+// block) by (run value, phase): a multi-megabase run has at most line-width
+// distinct block texts, so its deflate+crc cost collapses to memcpy.
+// --- RLE-aware deflate: emit fixed-Huffman tokens straight from the run
+// structure.  Depth text is a sequence of periodic segments ("v\n" repeated),
+// so instead of letting a general compressor rediscover the periodicity one
+// 32KB hash probe at a time, emit the first line as literals and the rest as
+// distance-`width` matches: O(len/258) tokens per block instead of O(len)
+// match-finder work.  Output is a perfectly standard deflate stream (BTYPE=01)
+// — every gzip/BGZF reader, including the reference's (GCI_score.py:11-39),
+// inflates it unchanged.  ~3-5x larger than libdeflate level 6 on depth text
+// but ~20x faster to produce; `level >= 2` keeps the libdeflate path.
+struct RleBitWriter {
+  uint8_t* out;
+  size_t cap;
+  size_t pos = 0;
+  uint64_t bitbuf = 0;
+  int nbits = 0;
+  bool overflow = false;
+  void put(uint32_t bits, int n) {
+    bitbuf |= (uint64_t)bits << nbits;
+    nbits += n;
+    while (nbits >= 8) {
+      if (pos >= cap) {
+        overflow = true;
+        nbits = 0;
+        return;
+      }
+      out[pos++] = (uint8_t)bitbuf;
+      bitbuf >>= 8;
+      nbits -= 8;
+    }
+  }
+  size_t finish() {
+    if (nbits) {
+      if (pos >= cap) {
+        overflow = true;
+        return 0;
+      }
+      out[pos++] = (uint8_t)bitbuf;
+      bitbuf = 0;
+      nbits = 0;
+    }
+    return overflow ? 0 : pos;
+  }
+};
+
+static inline uint32_t rle_revbits(uint32_t v, int n) {
+  uint32_t r = 0;
+  for (int i = 0; i < n; i++) {
+    r = (r << 1) | (v & 1);
+    v >>= 1;
+  }
+  return r;
+}
+
+static inline void rle_put_lit(RleBitWriter& bw, uint8_t c) {
+  if (c < 144)
+    bw.put(rle_revbits(0x30 + c, 8), 8);
+  else
+    bw.put(rle_revbits(0x190 + (c - 144), 9), 9);
+}
+
+static const int kRleLenBase[29] = {3,  4,  5,  6,  7,  8,  9,  10, 11, 13,
+                                    15, 17, 19, 23, 27, 31, 35, 43, 51, 59,
+                                    67, 83, 99, 115, 131, 163, 195, 227, 258};
+static const int kRleLenExtra[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2,
+                                     2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5,
+                                     0};
+static const int kRleDistBase[30] = {
+    1,    2,    3,    4,    5,    7,    9,    13,   17,    25,
+    33,   49,   65,   97,   129,  193,  257,  385,  513,   769,
+    1025, 1537, 2049, 3073, 4097, 6145, 8193, 12289, 16385, 24577};
+static const int kRleDistExtra[30] = {0, 0, 0,  0,  1,  1,  2,  2,  3,  3,
+                                      4, 4, 5,  5,  6,  6,  7,  7,  8,  8,
+                                      9, 9, 10, 10, 11, 11, 12, 12, 13, 13};
+
+static inline void rle_put_match(RleBitWriter& bw, int len, int dist) {
+  int li = 28;
+  while (kRleLenBase[li] > len) li--;
+  int code = 257 + li;
+  if (code < 280)
+    bw.put(rle_revbits((uint32_t)(code - 256), 7), 7);
+  else
+    bw.put(rle_revbits((uint32_t)(0xC0 + code - 280), 8), 8);
+  if (kRleLenExtra[li]) bw.put((uint32_t)(len - kRleLenBase[li]), kRleLenExtra[li]);
+  int di = 29;
+  while (kRleDistBase[di] > dist) di--;
+  bw.put(rle_revbits((uint32_t)di, 5), 5);
+  if (kRleDistExtra[di]) bw.put((uint32_t)(dist - kRleDistBase[di]), kRleDistExtra[di]);
+}
+
+// --- CRC32 of periodic text without materializing it: zlib-style GF(2)
+// zero-byte shift ladder (crc32_combine algebra).  crc(A||B) =
+// shift(crc(A), len(B)) ^ crc(B); shift by n zero bytes = product of the
+// precomputed x^(8*2^i) matrices over n's set bits.  A run of k identical
+// lines then costs O(log k) instead of O(k) — combined with the token
+// emitter above, a multi-gigabase checkpoint never exists as text at all.
+static inline uint32_t gf2_times(const uint32_t* mat, uint32_t vec) {
+  uint32_t sum = 0;
+  while (vec) {
+    if (vec & 1) sum ^= *mat;
+    vec >>= 1;
+    mat++;
+  }
+  return sum;
+}
+
+static void gf2_square(uint32_t* dst, const uint32_t* src) {
+  for (int n = 0; n < 32; n++) dst[n] = gf2_times(src, src[n]);
+}
+
+typedef uint32_t CrcLadderRow[32];
+static const CrcLadderRow* crc_zero_ladder() {
+  static uint32_t lad[43][32];
+  static std::once_flag once;
+  std::call_once(once, []() {
+    uint32_t odd[32], even[32];
+    odd[0] = 0xedb88320u;  // reflected CRC-32 polynomial
+    uint32_t row = 1;
+    for (int n = 1; n < 32; n++) {
+      odd[n] = row;
+      row <<= 1;
+    }
+    gf2_square(even, odd);    // 2 zero bits
+    gf2_square(odd, even);    // 4 zero bits
+    gf2_square(lad[0], odd);  // 8 zero bits = 1 byte
+    for (int i = 1; i < 43; i++) gf2_square(lad[i], lad[i - 1]);
+  });
+  return lad;
+}
+
+static uint32_t crc_shift_bytes(uint32_t crc, uint64_t n) {
+  const CrcLadderRow* lad = crc_zero_ladder();
+  for (int i = 0; n; i++, n >>= 1)
+    if (n & 1) crc = gf2_times(lad[i], crc);
+  return crc;
+}
+
+static inline uint32_t crc_combine(uint32_t c1, uint32_t c2, uint64_t len2) {
+  return crc_shift_bytes(c1, len2) ^ c2;
+}
+
+// per-value cache: crc of the value's line repeated 2^j times
+struct ValCrcLadder {
+  int maxj = 0;
+  bool init = false;
+  uint32_t pow[43];
+};
+
+static uint32_t crc_k_lines(ValCrcLadder& vc, int ll, uint64_t k) {
+  int hb = 63 - __builtin_clzll(k);
+  while (vc.maxj < hb) {
+    vc.pow[vc.maxj + 1] = crc_combine(vc.pow[vc.maxj], vc.pow[vc.maxj],
+                                      (uint64_t)ll << vc.maxj);
+    vc.maxj++;
+  }
+  uint32_t c = vc.pow[hb];
+  for (int j = hb - 1; j >= 0; j--)
+    if (k & (1ull << j)) c = crc_combine(c, vc.pow[j], (uint64_t)ll << j);
+  return c;
+}
+
+static bool depth_runs_bgzf_core(const int64_t* vals, const int64_t* counts,
+                                 int64_t n, const uint8_t* header,
+                                 int64_t header_len, int level, int nthreads,
+                                 int64_t block_lo, int64_t block_hi,
+                                 std::vector<uint8_t>& result) {
   // per-run decimal line text + cumulative byte offsets (O(runs))
   std::vector<char> line_buf;
   std::vector<uint32_t> line_off;   // start of run i's line in line_buf
   std::vector<uint8_t> line_len;    // bytes incl. newline (<= 21)
+  std::vector<int64_t> run_val;     // kept-run values (cache key)
   std::vector<int64_t> byte_off;    // text byte offset where run i starts
   line_buf.reserve((size_t)n * 4);
   line_off.reserve((size_t)n);
   line_len.reserve((size_t)n);
+  run_val.reserve((size_t)n);
   byte_off.reserve((size_t)n + 1);
   int64_t cursor = header_len;
   for (int64_t i = 0; i < n; i++) {
@@ -1339,6 +1513,7 @@ GCI_API void* gci_depth_runs_to_bgzf(const int64_t* vals,
     byte_off.push_back(cursor);
     line_off.push_back((uint32_t)line_buf.size());
     line_len.push_back((uint8_t)len);
+    run_val.push_back(vals[i]);
     line_buf.insert(line_buf.end(), tmp, tmp + len);
     cursor += (int64_t)len * counts[i];
   }
@@ -1347,59 +1522,186 @@ GCI_API void* gci_depth_runs_to_bgzf(const int64_t* vals,
   const size_t n_runs = line_off.size();
 
   const int64_t CHUNK = 0xff00;
-  const size_t nblocks = (size_t)((total + CHUNK - 1) / CHUNK);
+  const int64_t nblocks_all = (total + CHUNK - 1) / CHUNK;
+  if (block_lo < 0) block_lo = 0;
+  if (block_hi < 0 || block_hi > nblocks_all) block_hi = nblocks_all;
+  if (block_lo > block_hi) block_lo = block_hi;
+  const size_t nblocks = (size_t)(block_hi - block_lo);
   std::vector<std::vector<uint8_t>> outs(nblocks);
   std::atomic<size_t> next(0);
   std::atomic<bool> ok(true);
   auto worker = [&]() {
     std::vector<uint8_t> text((size_t)CHUNK);
-    std::vector<uint8_t> comp((size_t)CHUNK + 1024);
+    std::vector<uint8_t> comp((size_t)CHUNK + 8 * 1024);
+    // (value, phase) -> finished BGZF block bytes, for blocks wholly inside
+    // one run.  Per-worker (no locking); identical inputs deflate to
+    // identical bytes, so caching never changes the output.
+    std::unordered_map<uint64_t, std::vector<uint8_t>> cache;
+    std::unordered_map<int64_t, ValCrcLadder> crc_cache;
     while (true) {
-      size_t bi = next.fetch_add(1);
-      if (bi >= nblocks || !ok.load()) break;
+      size_t slot = next.fetch_add(1);
+      if (slot >= nblocks || !ok.load()) break;
+      const size_t bi = (size_t)block_lo + slot;
       const int64_t s = (int64_t)bi * CHUNK;
       const int64_t e = std::min<int64_t>(s + CHUNK, total);
       const size_t len = (size_t)(e - s);
-      // --- generate this block's text ---
-      int64_t q = s;
-      size_t w = 0;
-      if (q < header_len) {
-        size_t h = (size_t)std::min<int64_t>(header_len - q, (int64_t)len);
-        memcpy(text.data(), header + q, h);
-        w += h;
-        q += (int64_t)h;
-      }
-      if (q < e && n_runs) {
-        // first run whose byte range contains q
+      uint64_t ckey = 0;
+      bool cacheable = false;
+      if (len == (size_t)CHUNK && s >= header_len && n_runs) {
         size_t ri = (size_t)(std::upper_bound(byte_off.begin(),
-                                              byte_off.end() - 1, q) -
+                                              byte_off.end() - 1, s) -
                              byte_off.begin()) - 1;
-        while (q < e && ri < n_runs) {
-          const char* lp = line_buf.data() + line_off[ri];
+        if (byte_off[ri] <= s && byte_off[ri + 1] >= e) {
           const int ll = (int)line_len[ri];
-          int64_t run_end = byte_off[ri + 1];
-          int64_t stop = std::min(run_end, e);
-          int phase = (int)((q - byte_off[ri]) % ll);
-          while (q < stop) {
-            int take = (int)std::min<int64_t>(ll - phase, stop - q);
-            memcpy(text.data() + w, lp + phase, (size_t)take);
-            w += (size_t)take;
-            q += take;
-            phase = 0;
+          const int phase = (int)((s - byte_off[ri]) % ll);
+          // value < 2^58 always (depth sums); 5 bits of phase fit beside it
+          ckey = ((uint64_t)run_val[ri] << 5) | (uint64_t)phase;
+          cacheable = true;
+          auto it = cache.find(ckey);
+          if (it != cache.end()) {
+            outs[slot] = it->second;
+            continue;
           }
-          ri++;
         }
       }
-      // --- deflate into a BGZF block ---
-      size_t clen = libdeflate_deflate_compress(
-          tl_compressor(level), text.data(), len, comp.data(), comp.size());
+      size_t clen;
+      uint32_t crc;
+      if (level <= 1) {
+        // --- RLE token path: deflate stream + CRC straight from the runs;
+        // the block's text is never materialized ---
+        RleBitWriter bw{comp.data(), comp.size()};
+        bw.put(3, 3);  // BFINAL=1, BTYPE=01 (fixed Huffman)
+        crc = 0;
+        bool first_piece = true;
+        auto add_crc = [&](uint32_t c, uint64_t l) {
+          if (!l) return;
+          crc = first_piece ? c : crc_combine(crc, c, l);
+          first_piece = false;
+        };
+        // short segments accumulate in `text` and CRC once per stretch —
+        // per-segment combine calls would dominate on dense (many-run) data
+        size_t pend = 0;
+        auto flush_pend = [&]() {
+          if (!pend) return;
+          add_crc(libdeflate_crc32(0, text.data(), pend), (uint64_t)pend);
+          pend = 0;
+        };
+        int64_t q = s;
+        if (q < header_len) {
+          size_t h = (size_t)std::min<int64_t>(header_len - q, (int64_t)len);
+          for (size_t i = 0; i < h; i++) rle_put_lit(bw, header[q + i]);
+          memcpy(text.data(), header + q, h);
+          pend = h;
+          q += (int64_t)h;
+        }
+        if (q < e && n_runs) {
+          size_t ri = (size_t)(std::upper_bound(byte_off.begin(),
+                                                byte_off.end() - 1, q) -
+                               byte_off.begin()) - 1;
+          while (q < e && ri < n_runs) {
+            const char* lp = line_buf.data() + line_off[ri];
+            const uint8_t* lpu = (const uint8_t*)lp;
+            const int ll = (int)line_len[ri];
+            const int64_t stop = std::min(byte_off[ri + 1], e);
+            const int64_t m = stop - q;
+            const int phase = (int)((q - byte_off[ri]) % ll);
+            // tokens: one period of literals, then distance-`ll` matches
+            const int64_t lit = std::min<int64_t>(ll, m);
+            for (int64_t i = 0; i < lit; i++)
+              rle_put_lit(bw, lpu[(phase + i) % ll]);
+            int64_t pos = lit, r = m - lit;
+            while (r > 0) {
+              int64_t take = r < 258 ? r : 258;
+              if (take < 3) {
+                for (int64_t i = 0; i < take; i++)
+                  rle_put_lit(bw, lpu[(phase + pos + i) % ll]);
+              } else {
+                rle_put_match(bw, (int)take, ll);
+              }
+              pos += take;
+              r -= take;
+            }
+            // crc: head partial line + 2^j-line ladder + tail partial line
+            if (m < 4096) {
+              uint8_t* tb = text.data() + pend;
+              size_t w2 = 0;
+              int ph = phase;
+              while ((int64_t)w2 < m) {
+                int take = (int)std::min<int64_t>(ll - ph, m - (int64_t)w2);
+                memcpy(tb + w2, lpu + ph, (size_t)take);
+                w2 += (size_t)take;
+                ph = 0;
+              }
+              pend += (size_t)m;
+            } else {
+              flush_pend();
+              int64_t head = phase ? (ll - phase) : 0;
+              if (head > m) head = m;
+              if (head)
+                add_crc(libdeflate_crc32(0, lpu + phase, (size_t)head),
+                        (uint64_t)head);
+              const uint64_t k = (uint64_t)(m - head) / (uint64_t)ll;
+              const int64_t tail = (m - head) % ll;
+              if (k) {
+                ValCrcLadder& vc = crc_cache[run_val[ri]];
+                if (!vc.init) {
+                  vc.pow[0] = libdeflate_crc32(0, lpu, (size_t)ll);
+                  vc.init = true;
+                }
+                add_crc(crc_k_lines(vc, ll, k), k * (uint64_t)ll);
+              }
+              if (tail)
+                add_crc(libdeflate_crc32(0, lpu, (size_t)tail),
+                        (uint64_t)tail);
+            }
+            q = stop;
+            ri++;
+          }
+        }
+        flush_pend();
+        bw.put(0, 7);  // end-of-block (code 256)
+        clen = bw.finish();
+      } else {
+        // --- generate this block's text, then libdeflate ---
+        int64_t q = s;
+        size_t w = 0;
+        if (q < header_len) {
+          size_t h = (size_t)std::min<int64_t>(header_len - q, (int64_t)len);
+          memcpy(text.data(), header + q, h);
+          w += h;
+          q += (int64_t)h;
+        }
+        if (q < e && n_runs) {
+          // first run whose byte range contains q
+          size_t ri = (size_t)(std::upper_bound(byte_off.begin(),
+                                                byte_off.end() - 1, q) -
+                               byte_off.begin()) - 1;
+          while (q < e && ri < n_runs) {
+            const char* lp = line_buf.data() + line_off[ri];
+            const int ll = (int)line_len[ri];
+            int64_t run_end = byte_off[ri + 1];
+            int64_t stop = std::min(run_end, e);
+            int phase = (int)((q - byte_off[ri]) % ll);
+            while (q < stop) {
+              int take = (int)std::min<int64_t>(ll - phase, stop - q);
+              memcpy(text.data() + w, lp + phase, (size_t)take);
+              w += (size_t)take;
+              q += take;
+              phase = 0;
+            }
+            ri++;
+          }
+        }
+        clen = libdeflate_deflate_compress(tl_compressor(level), text.data(),
+                                           len, comp.data(), comp.size());
+        crc = libdeflate_crc32(0, text.data(), len);
+      }
       if (!clen) {
         ok.store(false);
         break;
       }
-      uint32_t crc = libdeflate_crc32(0, text.data(), len);
       uint32_t bsize = (uint32_t)(clen + 26);
-      std::vector<uint8_t>& o = outs[bi];
+      std::vector<uint8_t>& o = outs[slot];
       o.reserve(bsize);
       const uint8_t hdr[12] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff, 6, 0};
       o.insert(o.end(), hdr, hdr + 12);
@@ -1412,6 +1714,7 @@ GCI_API void* gci_depth_runs_to_bgzf(const int64_t* vals,
       uint32_t is = (uint32_t)len;
       memcpy(tail + 4, &is, 4);
       o.insert(o.end(), tail, tail + 8);
+      if (cacheable) cache.emplace(ckey, o);
     }
   };
   if (nthreads <= 1) {
@@ -1421,12 +1724,59 @@ GCI_API void* gci_depth_runs_to_bgzf(const int64_t* vals,
     for (int t = 0; t < nthreads; t++) ts.emplace_back(worker);
     for (auto& t : ts) t.join();
   }
-  if (!ok.load()) return nullptr;
-  auto* b = new Buffer();
+  if (!ok.load()) return false;
   size_t out_total = 0;
   for (auto& o : outs) out_total += o.size();
-  b->data.reserve(out_total);
-  for (auto& o : outs) b->data.insert(b->data.end(), o.begin(), o.end());
+  result.reserve(out_total);
+  for (auto& o : outs) result.insert(result.end(), o.begin(), o.end());
+  return true;
+}
+
+GCI_API void* gci_depth_runs_to_bgzf(const int64_t* vals,
+                                     const int64_t* counts, int64_t n,
+                                     const uint8_t* header,
+                                     int64_t header_len, int level,
+                                     int nthreads) {
+  auto* b = new Buffer();
+  if (!depth_runs_bgzf_core(vals, counts, n, header, header_len, level,
+                            nthreads, 0, -1, b->data)) {
+    delete b;
+    return nullptr;
+  }
+  return b;
+}
+
+// Total BGZF block count for a (header, runs) stream — lets the distributed
+// writer partition [0, nblocks) into per-host contiguous ranges up front.
+GCI_API int64_t gci_depth_runs_bgzf_nblocks(const int64_t* counts, int64_t n,
+                                            const int64_t* vals,
+                                            int64_t header_len) {
+  int64_t total = header_len;
+  for (int64_t i = 0; i < n; i++) {
+    if (counts[i] <= 0) continue;
+    int64_t v = vals[i];
+    int w = 1;
+    while (v >= 10) {
+      v /= 10;
+      w++;
+    }
+    total += (int64_t)(w + 1) * counts[i];
+  }
+  return (total + 0xff00 - 1) / 0xff00;
+}
+
+GCI_API void* gci_depth_runs_to_bgzf_range(const int64_t* vals,
+                                           const int64_t* counts, int64_t n,
+                                           const uint8_t* header,
+                                           int64_t header_len, int level,
+                                           int nthreads, int64_t block_lo,
+                                           int64_t block_hi) {
+  auto* b = new Buffer();
+  if (!depth_runs_bgzf_core(vals, counts, n, header, header_len, level,
+                            nthreads, block_lo, block_hi, b->data)) {
+    delete b;
+    return nullptr;
+  }
   return b;
 }
 

@@ -1,5 +1,7 @@
 import gzip
 
+import pytest
+
 import numpy as np
 
 from gci_tpu.io.depth_file import (
@@ -77,3 +79,57 @@ def test_events_write_roundtrip_and_gzip_compat(tmp_path, rng):
     got, _ = read_depth_gz(p2)
     for k, a in arrs.items():
         np.testing.assert_array_equal(got[k], a)
+
+
+def test_rle_codec_levels_and_range_sharding(rng):
+    """The RLE token codec (level 1) and libdeflate (level 6) produce
+    different compressed bytes but identical text; disjoint block ranges
+    concatenate to exactly the whole-stream bytes (the distributed-writer
+    contract, format GCI.py:113-117)."""
+    pytest.importorskip("gci_tpu.native")
+    from gci_tpu.native import (
+        bgzf_eof_native,
+        depth_runs_bgzf_nblocks_native,
+        depth_runs_to_bgzf_native,
+        depth_runs_to_bgzf_range_native,
+    )
+
+    hdr = b">tgt\n"
+    for trial in range(3):
+        n = int(rng.integers(1, 3000))
+        vals = rng.integers(0, 10 ** int(rng.integers(1, 7)), n).astype(np.int64)
+        counts = rng.integers(1, 5000, n).astype(np.int64)
+        expected = b"".join(
+            [hdr] + [b"%d\n" % v * c for v, c in zip(vals.tolist(), counts.tolist())]
+        )
+        for level in (1, 6):
+            blob = depth_runs_to_bgzf_native(vals, counts, hdr, level, 2)
+            assert gzip.decompress(blob + bgzf_eof_native()) == expected
+            nb = depth_runs_bgzf_nblocks_native(vals, counts, len(hdr))
+            parts = []
+            for h in range(3):
+                lo = nb * h // 3
+                hi = nb * (h + 1) // 3 if h < 2 else nb
+                parts.append(
+                    depth_runs_to_bgzf_range_native(
+                        vals, counts, hdr, lo, hi, level, 2
+                    )
+                )
+            assert b"".join(parts) == blob
+
+
+def test_rle_codec_long_runs_cross_blocks():
+    """Runs spanning many BGZF blocks (block-cache + CRC-ladder paths):
+    every phase alignment of the repeated line against the 0xff00 block
+    boundary must inflate back exactly."""
+    pytest.importorskip("gci_tpu.native")
+    from gci_tpu.native import bgzf_eof_native, depth_runs_to_bgzf_native
+
+    hdr = b">t\n"
+    vals = np.array([7, 123, 0, 45678, 9], dtype=np.int64)
+    counts = np.array([400_000, 130_001, 65_280, 99_999, 1], dtype=np.int64)
+    expected = b"".join(
+        [hdr] + [b"%d\n" % v * c for v, c in zip(vals.tolist(), counts.tolist())]
+    )
+    blob = depth_runs_to_bgzf_native(vals, counts, hdr, 1, 3)
+    assert gzip.decompress(blob + bgzf_eof_native()) == expected
