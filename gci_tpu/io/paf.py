@@ -4,11 +4,18 @@ Column contract (reference: GCI.py:218-229): query name, query length,
 query start/end, target name, target start/end, num matching residues,
 alignment block length, mapq (PAF standard columns 1-12; columns 5 and 7
 unused by the cascade).  Extension/optional fields are ignored.
+
+Targets are a deduped table (``target_names``) with per-row int32 ``tid``
+— a multi-million-row PAF maps to a handful of contigs, so per-row Python
+strings would be pure object churn.  ``targets`` materializes the per-row
+string list lazily for oracle/test use.  ``byte_range=(lo, hi)`` parses
+only the lines whose first byte lies in the half-open range — the
+per-host input shard of a shared PAF (ranges partition the row stream).
 """
 from __future__ import annotations
 
 import gzip
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -17,9 +24,10 @@ from gci_tpu.io.names import hash_names
 
 @dataclass
 class PafData:
-    names: list[bytes]
+    _names: list[bytes] | None
     name_keys: np.ndarray  # (n, 2) uint64
-    targets: list[str]
+    tid: np.ndarray  # (n,) int32 into target_names
+    target_names: list[str]
     qlen: np.ndarray
     qstart: np.ndarray
     qend: np.ndarray
@@ -28,23 +36,52 @@ class PafData:
     nmatch: np.ndarray
     alnlen: np.ndarray
     mapq: np.ndarray
+    _name_blob: bytes | None = field(default=None, repr=False)
+    _name_offsets: np.ndarray | None = field(default=None, repr=False)
+    _targets: list[str] | None = field(default=None, repr=False)
 
     @property
     def n_records(self) -> int:
-        return len(self.names)
+        return int(self.name_keys.shape[0])
+
+    @property
+    def targets(self) -> list[str]:
+        """Per-row target names (materialized once, on demand)."""
+        if self._targets is None:
+            self._targets = [
+                self.target_names[t] for t in self.tid.tolist()
+            ]
+        return self._targets
+
+    @property
+    def names(self) -> list[bytes]:
+        """Per-row query names (materialized on demand)."""
+        if self._names is None:
+            offs = self._name_offsets
+            blob = self._name_blob
+            self._names = [
+                bytes(blob[offs[i] : offs[i + 1]])
+                for i in range(self.n_records)
+            ]
+        return self._names
 
 
-def read_paf(path: str, threads: int = 2) -> PafData:
+def read_paf(
+    path: str,
+    threads: int = 2,
+    byte_range: tuple[int, int] | None = None,
+) -> PafData:
     """Parse a PAF file (native C++ fast path, Python fallback)."""
     try:
         from gci_tpu.native import NativePaf
 
-        np_ = NativePaf(path, nthreads=threads)
+        np_ = NativePaf(path, nthreads=threads, byte_range=byte_range)
         ints = np_.ints
         return PafData(
-            names=np_.names,
+            _names=None,
             name_keys=np.stack([np_.name_hash, np_.name_hash2], axis=1),
-            targets=np_.targets,
+            tid=np_.tid,
+            target_names=np_.target_names,
             qlen=ints[:, 0],
             qstart=ints[:, 1],
             qend=ints[:, 2],
@@ -53,34 +90,64 @@ def read_paf(path: str, threads: int = 2) -> PafData:
             nmatch=ints[:, 5],
             alnlen=ints[:, 6],
             mapq=ints[:, 7],
+            _name_blob=np_.name_blob,
+            _name_offsets=np_.name_offsets,
         )
     except (ImportError, OSError):
-        return _read_paf_python(path)
+        return _read_paf_python(path, byte_range)
 
 
-def _read_paf_python(path: str) -> PafData:
+def _read_paf_python(
+    path: str, byte_range: tuple[int, int] | None = None
+) -> PafData:
     names: list[bytes] = []
-    targets: list[str] = []
+    tids: list[int] = []
+    target_names: list[str] = []
+    target_lookup: dict[str, int] = {}
     ints: list[tuple[int, int, int, int, int, int, int, int]] = []
-    opener = gzip.open if path.endswith(".gz") else open
+    if path.endswith(".gz"):
+        if byte_range is not None:
+            raise ValueError("byte_range unsupported for gzipped PAF")
+        opener = gzip.open
+    else:
+        opener = open
     with opener(path, "rb") as f:
-        for line in f:
-            p = line.rstrip(b"\r\n").split(b"\t")
-            if len(p) < 12:
-                continue
-            names.append(p[0])
-            targets.append(p[5].decode())
-            ints.append(
-                (
-                    int(p[1]), int(p[2]), int(p[3]),
-                    int(p[7]), int(p[8]), int(p[9]), int(p[10]), int(p[11]),
-                )
+        if byte_range is not None:
+            lo, hi = byte_range
+            if lo > 0:
+                f.seek(lo - 1)
+                f.readline()  # skip the partial line (owned by the previous shard)
+            data = f.read(max(hi - f.tell(), 0))
+            # the shard owns every line *starting* before hi: finish the
+            # last line if the range cut it mid-line
+            tail = f.readline() if data and data[-1:] != b"\n" else b""
+            lines = (data + tail).splitlines()
+        else:
+            lines = f.read().splitlines()
+    for line in lines:
+        p = line.rstrip(b"\r").split(b"\t")
+        if len(p) < 12:
+            continue
+        names.append(p[0])
+        t = p[5].decode()
+        k = target_lookup.get(t)
+        if k is None:
+            k = len(target_names)
+            target_lookup[t] = k
+            target_names.append(t)
+        tids.append(k)
+        ints.append(
+            (
+                int(p[1]), int(p[2]), int(p[3]),
+                int(p[7]), int(p[8]), int(p[9]), int(p[10]), int(p[11]),
             )
+        )
     arr = np.array(ints, dtype=np.int64).reshape(-1, 8)
     return PafData(
-        names=names,
+        _names=names,
         name_keys=hash_names(names),
-        targets=targets,
+        tid=np.array(tids, dtype=np.int32),
+        target_names=target_names,
         qlen=arr[:, 0],
         qstart=arr[:, 1],
         qend=arr[:, 2],

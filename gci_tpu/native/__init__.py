@@ -37,6 +37,7 @@ def _declare(lib: ctypes.CDLL) -> None:
     i32p = c.POINTER(c.c_int32)
     i64p = c.POINTER(c.c_int64)
     u64p = c.POINTER(c.c_uint64)
+    f64p = c.POINTER(c.c_double)
     lib.gci_buffer_free.argtypes = [c.c_void_p]
     lib.gci_buffer_data.restype = u8p
     lib.gci_buffer_data.argtypes = [c.c_void_p]
@@ -110,7 +111,7 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.gci_bgzf_compress.restype = c.c_void_p
     lib.gci_bgzf_compress.argtypes = [u8p, c.c_int64, c.c_int, c.c_int]
     lib.gci_paf_open.restype = c.c_void_p
-    lib.gci_paf_open.argtypes = [c.c_char_p, c.c_int]
+    lib.gci_paf_open.argtypes = [c.c_char_p, c.c_int, c.c_int64, c.c_int64]
     lib.gci_paf_free.argtypes = [c.c_void_p]
     lib.gci_paf_num_rows.restype = c.c_int64
     lib.gci_paf_num_rows.argtypes = [c.c_void_p]
@@ -118,10 +119,13 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.gci_paf_copy_hashes.argtypes = [c.c_void_p, u64p, u64p]
     lib.gci_paf_name_blob_size.restype = c.c_int64
     lib.gci_paf_name_blob_size.argtypes = [c.c_void_p]
-    lib.gci_paf_target_blob_size.restype = c.c_int64
-    lib.gci_paf_target_blob_size.argtypes = [c.c_void_p]
     lib.gci_paf_copy_names.argtypes = [c.c_void_p, u8p, i64p]
-    lib.gci_paf_copy_targets.argtypes = [c.c_void_p, u8p, i64p]
+    lib.gci_paf_num_targets.restype = c.c_int64
+    lib.gci_paf_num_targets.argtypes = [c.c_void_p]
+    lib.gci_paf_target_name.restype = c.c_char_p
+    lib.gci_paf_target_name.argtypes = [c.c_void_p, c.c_int64]
+    lib.gci_paf_copy_tids.argtypes = [c.c_void_p, i32p]
+    lib.gci_seg_sum_f64.argtypes = [f64p, i64p, c.c_int64, c.c_int64, f64p]
     lib.gci_fasta_scan.restype = c.c_void_p
     lib.gci_fasta_scan.argtypes = [c.c_char_p]
     lib.gci_fasta_free.argtypes = [c.c_void_p]
@@ -359,11 +363,25 @@ def bgzf_compress_native(data: bytes, level: int = 6, nthreads: int = 4) -> byte
 
 
 class NativePaf:
-    """Packed PAF columns parsed by the C++ parser."""
+    """Packed PAF columns parsed by the C++ parser.
 
-    def __init__(self, path: str, nthreads: int = 2):
+    Targets arrive as a deduped table (``target_names``) + per-row int32
+    ``tid`` — no per-row Python strings.  Query names stay a raw blob +
+    offsets; ``names`` materializes the per-row list lazily (only the
+    oracle/test paths want it — production uses the 128-bit name hashes).
+    ``byte_range=(lo, hi)`` parses only the lines whose first byte lies in
+    the range (per-host input sharding of a shared plain-text PAF).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        nthreads: int = 2,
+        byte_range: tuple[int, int] | None = None,
+    ):
         lib = get_lib()
-        h = lib.gci_paf_open(path.encode(), nthreads)
+        lo, hi = byte_range if byte_range is not None else (-1, -1)
+        h = lib.gci_paf_open(path.encode(), nthreads, lo, hi)
         if not h:
             raise OSError(f"cannot read PAF file: {path}")
         try:
@@ -371,30 +389,51 @@ class NativePaf:
             ints = np.empty(n * 8, dtype=np.int64)
             h1 = np.empty(n, dtype=np.uint64)
             h2 = np.empty(n, dtype=np.uint64)
+            tid = np.empty(n, dtype=np.int32)
             if n:
                 lib.gci_paf_copy_ints(h, _as_ptr(ints, ctypes.c_int64))
                 lib.gci_paf_copy_hashes(
                     h, _as_ptr(h1, ctypes.c_uint64), _as_ptr(h2, ctypes.c_uint64)
                 )
+                lib.gci_paf_copy_tids(h, _as_ptr(tid, ctypes.c_int32))
             self.ints = ints.reshape(n, 8)
             self.name_hash = h1
             self.name_hash2 = h2
-            nb = lib.gci_paf_name_blob_size(h)
-            tb = lib.gci_paf_target_blob_size(h)
-            nblob = np.empty(max(nb, 1), dtype=np.uint8)
-            tblob = np.empty(max(tb, 1), dtype=np.uint8)
-            noffs = np.empty(n + 1, dtype=np.int64)
-            toffs = np.empty(n + 1, dtype=np.int64)
-            lib.gci_paf_copy_names(h, _as_ptr(nblob, ctypes.c_uint8), _as_ptr(noffs, ctypes.c_int64))
-            lib.gci_paf_copy_targets(h, _as_ptr(tblob, ctypes.c_uint8), _as_ptr(toffs, ctypes.c_int64))
-            blob = nblob[:nb].tobytes()
-            self.names = [bytes(blob[noffs[i]: noffs[i + 1]]) for i in range(n)]
-            tbytes = tblob[:tb].tobytes()
-            self.targets = [
-                tbytes[toffs[i] : toffs[i + 1]].decode() for i in range(n)
+            self.tid = tid
+            self.target_names = [
+                lib.gci_paf_target_name(h, i).decode()
+                for i in range(int(lib.gci_paf_num_targets(h)))
             ]
+            nb = lib.gci_paf_name_blob_size(h)
+            nblob = np.empty(max(nb, 1), dtype=np.uint8)
+            noffs = np.empty(n + 1, dtype=np.int64)
+            lib.gci_paf_copy_names(h, _as_ptr(nblob, ctypes.c_uint8), _as_ptr(noffs, ctypes.c_int64))
+            self.name_blob = nblob[:nb].tobytes()
+            self.name_offsets = noffs
         finally:
             lib.gci_paf_free(h)
+
+    @property
+    def names(self) -> list[bytes]:
+        offs = self.name_offsets
+        blob = self.name_blob
+        return [
+            bytes(blob[offs[i]: offs[i + 1]])
+            for i in range(self.ints.shape[0])
+        ]
+
+
+def seg_sum_f64_native(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-segment sequential float64 sums (segment k = [starts[k], starts[k+1]))."""
+    lib = get_lib()
+    values = np.ascontiguousarray(values, dtype=np.float64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    out = np.empty(starts.shape[0], dtype=np.float64)
+    lib.gci_seg_sum_f64(
+        _as_ptr(values, ctypes.c_double), _as_ptr(starts, ctypes.c_int64),
+        starts.shape[0], values.shape[0], _as_ptr(out, ctypes.c_double),
+    )
+    return out
 
 
 class NativeBam:

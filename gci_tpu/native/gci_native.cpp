@@ -767,8 +767,11 @@ struct PackedPaf {
   std::vector<uint64_t> name_hash, name_hash2;
   std::vector<int64_t> name_off;   // n+1
   std::string name_blob;
-  std::vector<int64_t> target_off;  // n+1
-  std::string target_blob;
+  // targets are deduped into a table (typically a handful of contigs per
+  // multi-million-row PAF): per-row int32 ids instead of per-row strings
+  std::vector<int32_t> target_id;
+  std::vector<std::string> target_names;
+  std::unordered_map<std::string, int32_t> target_lookup;
   std::string error;
   size_t n_rows = 0;
 };
@@ -807,8 +810,17 @@ static void paf_parse_range(const char* p, size_t i, size_t n,
       pf->name_off.push_back((int64_t)pf->name_blob.size());
       pf->name_hash.push_back(fnv1a64(f[0], flen[0]));
       pf->name_hash2.push_back(hash2_64(f[0], flen[0]));
-      pf->target_blob.append(f[5], flen[5]);
-      pf->target_off.push_back((int64_t)pf->target_blob.size());
+      std::string tgt(f[5], flen[5]);
+      auto it = pf->target_lookup.find(tgt);
+      int32_t tid;
+      if (it == pf->target_lookup.end()) {
+        tid = (int32_t)pf->target_names.size();
+        pf->target_lookup.emplace(tgt, tid);
+        pf->target_names.push_back(std::move(tgt));
+      } else {
+        tid = it->second;
+      }
+      pf->target_id.push_back(tid);
       for (int k = 0; k < 8; k++)
         pf->ints.push_back(parse_int(f[NEED[k]], f[NEED[k]] + flen[NEED[k]]));
       pf->n_rows++;
@@ -817,11 +829,11 @@ static void paf_parse_range(const char* p, size_t i, size_t n,
   }
 }
 
-// Parse in parallel line-aligned ranges, then splice the shards in order.
+// Parse in parallel line-aligned ranges, then splice the shards in order
+// (per-shard target tables remap into the merged table).
 static PackedPaf* paf_parse(const char* p, size_t n, int nthreads) {
   auto* pf = new PackedPaf();
   pf->name_off.push_back(0);
-  pf->target_off.push_back(0);
   int T = nthreads > 1 ? nthreads : 1;
   if ((size_t)T > n / (1 << 20) + 1) T = (int)(n / (1 << 20) + 1);
   std::vector<size_t> starts((size_t)T + 1, n);
@@ -840,7 +852,6 @@ static PackedPaf* paf_parse(const char* p, size_t n, int nthreads) {
     for (int t = 0; t < T; t++) {
       ts.emplace_back([&, t]() {
         shards[(size_t)t].name_off.push_back(0);
-        shards[(size_t)t].target_off.push_back(0);
         paf_parse_range(p, starts[(size_t)t], starts[(size_t)t + 1],
                         &shards[(size_t)t]);
       });
@@ -849,18 +860,29 @@ static PackedPaf* paf_parse(const char* p, size_t n, int nthreads) {
   }
   for (auto& sh : shards) {
     int64_t nb = (int64_t)pf->name_blob.size();
-    int64_t tb = (int64_t)pf->target_blob.size();
     pf->ints.insert(pf->ints.end(), sh.ints.begin(), sh.ints.end());
     pf->name_hash.insert(pf->name_hash.end(), sh.name_hash.begin(),
                          sh.name_hash.end());
     pf->name_hash2.insert(pf->name_hash2.end(), sh.name_hash2.begin(),
                           sh.name_hash2.end());
     pf->name_blob += sh.name_blob;
-    pf->target_blob += sh.target_blob;
     for (size_t k = 1; k < sh.name_off.size(); k++)
       pf->name_off.push_back(nb + sh.name_off[k]);
-    for (size_t k = 1; k < sh.target_off.size(); k++)
-      pf->target_off.push_back(tb + sh.target_off[k]);
+    // remap this shard's target ids into the merged table
+    std::vector<int32_t> remap(sh.target_names.size());
+    for (size_t k = 0; k < sh.target_names.size(); k++) {
+      const std::string& tgt = sh.target_names[k];
+      auto it = pf->target_lookup.find(tgt);
+      if (it == pf->target_lookup.end()) {
+        remap[k] = (int32_t)pf->target_names.size();
+        pf->target_lookup.emplace(tgt, remap[k]);
+        pf->target_names.push_back(tgt);
+      } else {
+        remap[k] = it->second;
+      }
+    }
+    for (int32_t tid : sh.target_id)
+      pf->target_id.push_back(remap[(size_t)tid]);
     pf->n_rows += sh.n_rows;
   }
   return pf;
@@ -868,18 +890,46 @@ static PackedPaf* paf_parse(const char* p, size_t n, int nthreads) {
 
 }  // namespace
 
-GCI_API void* gci_paf_open(const char* path, int nthreads) {
+// lo/hi < 0: whole file.  Otherwise parse exactly the lines whose FIRST byte
+// lies in [lo, hi) of the (uncompressed) file — the per-host input shard for
+// a shared PAF (ranges partition the row stream with no overlap or loss,
+// mirroring the BAM comp_range mechanism).  Gzipped PAFs don't support
+// ranges (no random access); the caller detects .gz and skips sharding.
+GCI_API void* gci_paf_open(const char* path, int nthreads, int64_t lo,
+                           int64_t hi) {
   std::vector<uint8_t> raw;
   if (!read_file(path, raw)) return nullptr;
   std::vector<uint8_t> un;
   const char* p = (const char*)raw.data();
   size_t n = raw.size();
   if (n >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
+    if (lo >= 0 || hi >= 0) return nullptr;  // range + gzip unsupported
     if (!gzip_inflate_all(raw.data(), n, un)) return nullptr;
     p = (const char*)un.data();
     n = un.size();
   }
-  return paf_parse(p, n, nthreads);
+  if (lo < 0 && hi < 0) return paf_parse(p, n, nthreads);
+  if (lo < 0) lo = 0;
+  if (hi < 0 || hi > (int64_t)n) hi = (int64_t)n;
+  // start: first line whose first byte is >= lo
+  size_t s = (size_t)lo;
+  if (s > 0) {
+    const char* nl = (const char*)memchr(p + s - 1, '\n', n - (s - 1));
+    s = nl ? (size_t)(nl - p) + 1 : n;
+  }
+  // end: the line containing byte hi-1 runs to its newline (lines starting
+  // at >= hi belong to the next shard)
+  size_t e = (size_t)hi;
+  if (e > s && e < n && p[e - 1] != '\n') {
+    const char* nl = (const char*)memchr(p + e, '\n', n - e);
+    e = nl ? (size_t)(nl - p) + 1 : n;
+  }
+  if (s >= e) {
+    auto* pf = new PackedPaf();
+    pf->name_off.push_back(0);
+    return pf;
+  }
+  return paf_parse(p + s, e - s, nthreads);
 }
 
 GCI_API void gci_paf_free(void* h) { delete (PackedPaf*)h; }
@@ -901,9 +951,6 @@ GCI_API void gci_paf_copy_hashes(void* h, uint64_t* h1, uint64_t* h2) {
 GCI_API int64_t gci_paf_name_blob_size(void* h) {
   return (int64_t)((PackedPaf*)h)->name_blob.size();
 }
-GCI_API int64_t gci_paf_target_blob_size(void* h) {
-  return (int64_t)((PackedPaf*)h)->target_blob.size();
-}
 GCI_API void gci_paf_copy_names(void* h, uint8_t* blob, int64_t* offs) {
   auto* pf = (PackedPaf*)h;
   if (blob && !pf->name_blob.empty())
@@ -911,13 +958,30 @@ GCI_API void gci_paf_copy_names(void* h, uint8_t* blob, int64_t* offs) {
   if (offs)
     memcpy(offs, pf->name_off.data(), pf->name_off.size() * sizeof(int64_t));
 }
-GCI_API void gci_paf_copy_targets(void* h, uint8_t* blob, int64_t* offs) {
+GCI_API int64_t gci_paf_num_targets(void* h) {
+  return (int64_t)((PackedPaf*)h)->target_names.size();
+}
+GCI_API const char* gci_paf_target_name(void* h, int64_t i) {
+  return ((PackedPaf*)h)->target_names[(size_t)i].c_str();
+}
+GCI_API void gci_paf_copy_tids(void* h, int32_t* out) {
   auto* pf = (PackedPaf*)h;
-  if (blob && !pf->target_blob.empty())
-    memcpy(blob, pf->target_blob.data(), pf->target_blob.size());
-  if (offs)
-    memcpy(offs, pf->target_off.data(),
-           pf->target_off.size() * sizeof(int64_t));
+  if (!pf->target_id.empty())
+    memcpy(out, pf->target_id.data(), pf->target_id.size() * sizeof(int32_t));
+}
+
+// Sequential (left-to-right) segmented float64 sums: bit-identical to the
+// reference's per-group Python ``sum`` of identities (GCI.py:246) — numpy's
+// reduceat/pairwise summation would differ in the last ULP for long groups.
+GCI_API void gci_seg_sum_f64(const double* v, const int64_t* starts,
+                             int64_t nseg, int64_t n, double* out) {
+  for (int64_t k = 0; k < nseg; k++) {
+    int64_t s = starts[k];
+    int64_t e = k + 1 < nseg ? starts[k + 1] : n;
+    double acc = 0.0;
+    for (int64_t i = s; i < e; i++) acc += v[i];
+    out[k] = acc;
+  }
 }
 
 GCI_API void gci_bam_free(void* h) { delete (PackedBam*)h; }

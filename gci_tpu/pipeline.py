@@ -32,7 +32,7 @@ from gci_tpu.filters import (
 from gci_tpu.filters.cascade import high_qual_keys
 from gci_tpu.io.depth_file import write_depth_gz
 from gci_tpu.io.fasta import mask_gaps_in_depths, scan_fasta
-from gci_tpu.io.names import hash_names, keys_view
+from gci_tpu.io.names import keys_view
 from gci_tpu.io.paf import read_paf
 from gci_tpu.reports import emit_gaps_bed, emit_issue_bed
 from gci_tpu.score.report import compute_continuity_report
@@ -119,34 +119,74 @@ def run_filter(
     hq_parts: list[np.ndarray] = []
     curation_inputs: list[CurationInput] = []
 
-    # --- PAF branch (GCI.py:213-254): cumulative election across files
+    # --- PAF branch (GCI.py:213-254): cumulative election across files.
+    # Multi-host: each process parses only its byte range of every shared
+    # plain-text PAF (gzipped PAFs have no random access and parse whole);
+    # the masked candidate columns are tiny and reconcile by allgather in
+    # process order == file row order, so the cumulative first-inserted
+    # election semantics are exactly the single-process ones.
     if paf_files:
+        from gci_tpu.io.paf import PafData
+
+        global_target_names = list(targets_length)
         paf_masked = []
         for path in paf_files:
-            paf = read_paf(path, threads=threads)
-            in_targets = np.array(
-                [t in target_ids for t in paf.targets], dtype=bool
-            )
-            mask = in_targets & paf_filter_mask(
-                paf.mapq, paf.nmatch, paf.alnlen, map_qual, iden_percent
-            )
-            paf_masked.append((paf, mask))
-            hq_parts.append(high_qual_keys(paf.name_keys, mask, paf.mapq, mq_cutoff))
-        for elected in elect_primary_targets(paf_masked):
-            names = list(elected.keys())
-            vals = list(elected.values())
-            keys = hash_names(names)
-            curation_inputs.append(
-                CurationInput(
-                    name_keys=keys,
-                    target_id=np.array(
-                        [target_ids[v[0]] for v in vals], dtype=np.int32
-                    ),
-                    start=np.array([v[1] for v in vals], dtype=np.int64),
-                    end=np.array([v[2] for v in vals], dtype=np.int64),
-                    qlen=np.array([v[3] for v in vals], dtype=np.int64),
+            with stage(f"{log_reads_type}:paf_parse:{path}") as paf_stage:
+                byte_range = None
+                if multihost and not path.endswith(".gz"):
+                    byte_range = input_comp_range(path)
+                paf = read_paf(path, threads=threads, byte_range=byte_range)
+                paf_stage.items = paf.n_records
+                paf_stage.unit = "rows"
+                # map this file's target table onto the pipeline's; unknown
+                # targets drop here (reference target-membership check)
+                t2g = np.array(
+                    [target_ids.get(t, -1) for t in paf.target_names]
+                    or [-1],
+                    dtype=np.int32,
                 )
-            )
+                gtid = t2g[paf.tid]
+                mask = (gtid >= 0) & paf_filter_mask(
+                    paf.mapq, paf.nmatch, paf.alnlen, map_qual, iden_percent
+                )
+                idx = np.flatnonzero(mask)
+                cols = [
+                    np.ascontiguousarray(paf.name_keys[idx]),
+                    gtid[idx].astype(np.int32),
+                    paf.qlen[idx], paf.qstart[idx], paf.qend[idx],
+                    paf.tstart[idx], paf.tend[idx],
+                    paf.nmatch[idx], paf.alnlen[idx], paf.mapq[idx],
+                ]
+                if multihost and byte_range is not None:
+                    cols = allgather_concat(cols)
+                keys, gtid_m, qlen, qs, qe, ts, te, nmatch, alnlen, mapq = cols
+                cand = PafData(
+                    _names=None, name_keys=keys, tid=gtid_m,
+                    target_names=global_target_names,
+                    qlen=qlen, qstart=qs, qend=qe, tstart=ts, tend=te,
+                    nmatch=nmatch, alnlen=alnlen, mapq=mapq,
+                )
+                paf_masked.append(
+                    (cand, np.ones(keys.shape[0], dtype=bool))
+                )
+                hq_parts.append(
+                    high_qual_keys(
+                        keys, np.ones(keys.shape[0], dtype=bool), mapq,
+                        mq_cutoff,
+                    )
+                )
+        with stage(f"{log_reads_type}:paf_election"):
+            for elected in elect_primary_targets(paf_masked):
+                # elected.target_names is the pipeline table; tid is global
+                curation_inputs.append(
+                    CurationInput(
+                        name_keys=elected.name_keys,
+                        target_id=elected.tid,
+                        start=elected.start,
+                        end=elected.end,
+                        qlen=elected.qlen,
+                    )
+                )
 
     # --- BAM branch (GCI.py:257-270): streamed scan, vectorized cascade.
     # Each chunk is filtered + compacted while the native producer inflates

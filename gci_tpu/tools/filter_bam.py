@@ -29,7 +29,7 @@ from gci_tpu.filters import CurationInput, curate_files, dedup_last_wins
 from gci_tpu.filters.cascade import high_qual_keys
 from gci_tpu.io.bam import BamStream, FLAG_SECONDARY, FLAG_SUPPLEMENTARY, FLAG_UNMAPPED
 from gci_tpu.io.bam_writer import bgzf_compress, build_header, sort_record_blobs
-from gci_tpu.io.names import hash_names, keys_view
+from gci_tpu.io.names import keys_view
 from gci_tpu.io.paf import read_paf
 from gci_tpu.filters.election import elect_primary_targets
 from gci_tpu.filters.cascade import paf_filter_mask
@@ -126,16 +126,23 @@ def run_filter_bam(
             masked.append((paf, mask))
             hq_parts.append(high_qual_keys(paf.name_keys, mask, paf.mapq, mq_cutoff))
         for elected in elect_primary_targets(masked):
-            names = list(elected.keys())
-            vals = list(elected.values())
-            keep = [k for k, v in enumerate(vals) if v[0] in target_ids]
+            # election ran over the PAFs' own target universe; restrict the
+            # winners to the BAM's target table afterwards (the reference
+            # order: filter_bam.py:104-131 elects first, filters later)
+            t2g = np.array(
+                [target_ids.get(t, -1) for t in elected.target_names]
+                or [-1],
+                dtype=np.int32,
+            )
+            gtid = t2g[elected.tid]
+            keep = gtid >= 0
             inputs.append(
                 CurationInput(
-                    hash_names([names[k] for k in keep]),
-                    np.array([target_ids[vals[k][0]] for k in keep], dtype=np.int32),
-                    np.array([vals[k][1] for k in keep], dtype=np.int64),
-                    np.array([vals[k][2] for k in keep], dtype=np.int64),
-                    np.array([vals[k][3] for k in keep], dtype=np.int64),
+                    elected.name_keys[keep],
+                    gtid[keep],
+                    elected.start[keep],
+                    elected.end[keep],
+                    elected.qlen[keep],
                 )
             )
     for f in bam_files:

@@ -1,4 +1,6 @@
 """Vectorized cascade vs the per-record oracle on randomized inputs."""
+import os
+
 import numpy as np
 import pytest
 
@@ -36,20 +38,24 @@ def _vector_filter(pafs, bams, targets_length, flank_len=15, **kw):
     inputs = []
     paf_masked = []
     for paf in pafs:
-        in_t = np.array([t in target_ids for t in paf.targets], dtype=bool)
+        in_t = np.array(
+            [t in target_ids for t in paf.target_names] or [False], dtype=bool
+        )[paf.tid]
         mask = in_t & paf_filter_mask(paf.mapq, paf.nmatch, paf.alnlen, map_qual, iden)
         paf_masked.append((paf, mask))
         hq_parts.append(high_qual_keys(paf.name_keys, mask, paf.mapq, mq_cutoff))
     for elected in elect_primary_targets(paf_masked):
-        names = list(elected.keys())
-        vals = list(elected.values())
+        t2g = np.array(
+            [target_ids[t] for t in elected.target_names] or [-1],
+            dtype=np.int32,
+        )
         inputs.append(
             CurationInput(
-                hash_names(names),
-                np.array([target_ids[v[0]] for v in vals], dtype=np.int32),
-                np.array([v[1] for v in vals], dtype=np.int64),
-                np.array([v[2] for v in vals], dtype=np.int64),
-                np.array([v[3] for v in vals], dtype=np.int64),
+                elected.name_keys,
+                t2g[elected.tid],
+                elected.start,
+                elected.end,
+                elected.qlen,
             )
         )
     for bam in bams:
@@ -192,3 +198,141 @@ def test_ovlp_percent_sweep_matches_oracle(tmp_path, rng):
         got = _vector_filter([], bams, TARGETS, ovlp_percent=op)
         want = oracle_filter([], bams, TARGETS, ovlp_percent=op)
         _compare(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized election vs the per-query oracle loop (GCI.py:213-254)
+# ---------------------------------------------------------------------------
+
+def _election_paf_rows(rng, n, targets, n_queries, engineered_ties=False):
+    """Random PAF rows; with engineered_ties, duplicate some query's rows
+    onto a second target so (score, name) tie-break paths fire."""
+    names = sorted(targets)
+    rows = []
+    for _ in range(n):
+        q = int(rng.integers(0, n_queries))
+        qlen = int(rng.integers(500, 20000))
+        qs = int(rng.integers(0, qlen - 10))
+        qe = int(rng.integers(qs + 1, qlen + 1))
+        t = names[int(rng.integers(0, len(names)))]
+        tl = targets[t]
+        ts = int(rng.integers(0, tl - 10))
+        te = int(rng.integers(ts + 1, tl + 1))
+        alnlen = int(rng.integers(10, 30000))
+        nmatch = int(rng.integers(0, alnlen + 1))
+        mapq = int(rng.choice([0, 20, 30, 50, 60]))
+        rows.append((f"q{q}", qlen, qs, qe, "+", t, tl, ts, te, nmatch, alnlen, mapq))
+    if engineered_ties:
+        # exact duplicate alignments under a different target name: scores
+        # equal to the ULP, winner must be the lexicographically larger name
+        extra = []
+        for r in rows[:: max(len(rows) // 10, 1)]:
+            for t2 in names:
+                if t2 != r[5]:
+                    extra.append(r[:5] + (t2,) + r[6:])
+                    break
+        rows += extra
+    return rows
+
+
+@pytest.mark.parametrize("seed,ties", [(0, False), (1, True), (2, True), (3, False)])
+def test_election_matches_oracle_randomized(tmp_path, seed, ties):
+    from tests.oracle_gci import oracle_paf_elections
+
+    rng = np.random.default_rng(seed)
+    paths = []
+    for i in range(3):  # 3 files -> cumulative re-election quirk
+        rows = _election_paf_rows(
+            rng, int(rng.integers(50, 400)), TARGETS, n_queries=40,
+            engineered_ties=ties,
+        )
+        p = str(tmp_path / f"f{i}.paf")
+        make_paf(p, rows)
+        paths.append(p)
+    pafs = [read_paf(p) for p in paths]
+
+    oracle_lines, _ = oracle_paf_elections(pafs, TARGETS, 30, 0.9, 50)
+
+    masked = []
+    for paf in pafs:
+        in_t = np.array(
+            [t in TARGETS for t in paf.target_names] or [False], dtype=bool
+        )[paf.tid]
+        mask = in_t & paf_filter_mask(paf.mapq, paf.nmatch, paf.alnlen, 30, 0.9)
+        masked.append((paf, mask))
+
+    for elected, odict in zip(elect_primary_targets(masked), oracle_lines):
+        onames = list(odict.keys())
+        ovals = list(odict.values())
+        assert elected.name_keys.shape[0] == len(onames)
+        np.testing.assert_array_equal(elected.name_keys, hash_names(onames))
+        got_targets = [elected.target_names[t] for t in elected.tid.tolist()]
+        assert got_targets == [v[0] for v in ovals]
+        np.testing.assert_array_equal(elected.start, [v[1] for v in ovals])
+        np.testing.assert_array_equal(elected.end, [v[2] for v in ovals])
+        np.testing.assert_array_equal(elected.qlen, [v[3] for v in ovals])
+
+
+def test_election_insertion_order_identity_sum(tmp_path):
+    """avg identity is the sequential insertion-order sum (bit parity):
+    a group with >8 alignments would differ under pairwise summation."""
+    from tests.oracle_gci import oracle_paf_elections
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for k in range(40):  # one query, one target, 40 alignments
+        alnlen = int(rng.integers(1000, 30000))
+        nmatch = int(rng.integers(int(alnlen * 0.93), alnlen + 1))
+        rows.append(
+            ("q0", 10000, 100 + 7 * k, 400 + 7 * k, "+", "chrA", 40000,
+             1000 + 11 * k, 2000 + 11 * k, nmatch, alnlen, 60)
+        )
+    p = str(tmp_path / "one.paf")
+    make_paf(p, rows)
+    paf = read_paf(p)
+    mask = paf_filter_mask(paf.mapq, paf.nmatch, paf.alnlen, 30, 0.9)
+    oracle_lines, _ = oracle_paf_elections([paf], TARGETS, 30, 0.9, 50)
+    (elected,) = elect_primary_targets([(paf, mask)])
+    (oval,) = list(oracle_lines[0].values())
+    assert elected.target_names[elected.tid[0]] == oval[0]
+    assert (int(elected.start[0]), int(elected.end[0]), int(elected.qlen[0])) == (
+        oval[1], oval[2], oval[3]
+    )
+
+
+def test_paf_byte_range_sharding_partitions_rows(tmp_path):
+    """read_paf(byte_range=...) over 3 shards partitions the row stream
+    exactly (no loss, no overlap, order preserved)."""
+    rng = np.random.default_rng(11)
+    rows = _election_paf_rows(rng, 500, TARGETS, n_queries=60)
+    p = str(tmp_path / "shard.paf")
+    make_paf(p, rows)
+    full = read_paf(p)
+    fsize = os.path.getsize(p)
+    parts = []
+    for h in range(3):
+        lo = fsize * h // 3
+        hi = fsize * (h + 1) // 3 if h < 2 else fsize
+        parts.append(read_paf(p, byte_range=(lo, hi)))
+    assert sum(s.n_records for s in parts) == full.n_records
+    assert all(s.n_records > 0 for s in parts)
+    np.testing.assert_array_equal(
+        np.concatenate([s.name_keys for s in parts]), full.name_keys
+    )
+    got_targets = [t for s in parts for t in s.targets]
+    assert got_targets == full.targets
+    for col in ("qlen", "qstart", "qend", "tstart", "tend", "nmatch", "alnlen", "mapq"):
+        np.testing.assert_array_equal(
+            np.concatenate([getattr(s, col) for s in parts]), getattr(full, col)
+        )
+    # python fallback parser slices identically
+    py = [
+        __import__("gci_tpu.io.paf", fromlist=["_read_paf_python"])._read_paf_python(
+            p, (fsize * h // 3, fsize * (h + 1) // 3 if h < 2 else fsize)
+        )
+        for h in range(3)
+    ]
+    assert sum(s.n_records for s in py) == full.n_records
+    np.testing.assert_array_equal(
+        np.concatenate([s.name_keys for s in py]), full.name_keys
+    )

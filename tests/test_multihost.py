@@ -251,6 +251,7 @@ def test_two_process_dual_type_with_paf_matches_single_process(tmp_path):
             "--device", "sharded", "--mesh", "2,4",
             "--coordinator", f"127.0.0.1:{port}",
             "--num-processes", "2", "--process-id", str(pid),
+            "--profile",
         ]
         procs.append(
             subprocess.Popen(
@@ -258,15 +259,34 @@ def test_two_process_dual_type_with_paf_matches_single_process(tmp_path):
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             )
         )
+    outs = []
     for p in procs:
         out, _ = p.communicate(timeout=600)
-        assert p.returncode == 0, out.decode(errors="replace")[-4000:]
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-4000:]
 
     _diff(d_ref, d_mh, [
         "M_hifi.depth.gz", "M_nano.depth.gz", "M_two_type.depth.gz",
         "M_hifi.0.depth.bed", "M_nano.0.depth.bed", "M_two_type.0.depth.bed",
         "M.gci", "M.regions.gci", "M.gaps.bed",
     ])
+
+    # per-host PAF input sharding: each process parses only its byte-range
+    # shard of the shared PAF, and the shards partition the row stream
+    import json
+
+    parsed = []
+    for out in outs:
+        items = [
+            json.loads(line)["items"]
+            for line in out.splitlines()
+            if line.startswith("{") and "paf_parse" in line
+        ]
+        assert len(items) == 1, out[-2000:]
+        parsed.append(items[0])
+    assert sum(parsed) == len(rows), parsed
+    assert all(0 < n < len(rows) for n in parsed), parsed
 
 
 def test_three_process_sharded_cli_matches_single_process(tmp_path):
