@@ -44,6 +44,12 @@ def resolve_auto_backend(
 
     override = os.environ.get("GCI_AUTO_BACKEND")
     if override:
+        valid = {"events", "device", "streamed", "sharded", "numpy"}
+        if override not in valid:
+            raise ValueError(
+                f"GCI_AUTO_BACKEND={override!r} is not a known depth backend"
+                f" (expected one of {sorted(valid)})"
+            )
         return override
     explicit = default_backend is not None or dispatch_latency is not None
     if not explicit and _AUTO_RESOLVED is not None:
@@ -58,7 +64,7 @@ def resolve_auto_backend(
         platforms = os.environ.get("JAX_PLATFORMS", "") or str(
             getattr(jax.config, "jax_platforms", None) or ""
         )
-        if "axon" in platforms:
+        if "axon" in (p.strip() for p in platforms.split(",")):
             _AUTO_RESOLVED = "events"
             return "events"
         default_backend = jax.default_backend()

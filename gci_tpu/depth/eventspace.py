@@ -94,27 +94,45 @@ class DepthEvents:
         return int((vals * counts).sum())
 
     def mask_intervals(self, intervals: list[tuple[int, int]]) -> "DepthEvents":
-        """Zero depth over intervals (gap masking, GCI.py:315-329)."""
-        out = self
-        for s, e in intervals:
-            out = out._set_range(s, e, 0)
-        return out
+        """Zero depth over intervals (gap masking, GCI.py:315-329).
 
-    def _set_range(self, s: int, e: int, value: int) -> "DepthEvents":
-        s = max(0, min(s, self.length))
-        e = max(0, min(e, self.length))
-        if e <= s:
+        One vectorized merge pass over all intervals — O((runs + gaps) log)
+        — instead of a per-interval boundary rebuild (which would be
+        O(gaps * runs): a fragmented draft assembly has tens of thousands
+        of N-gaps).  Intervals may overlap or arrive unsorted.
+        """
+        if not len(intervals):
             return self
-        b, v = self.boundaries, self.values
-        # value just before s and at e
-        left = b < s
-        right_idx = np.searchsorted(b, e, side="right") - 1
-        val_at_e = v[right_idx] if right_idx >= 0 else 0
-        keep_l = left
-        keep_r = b >= e
-        nb = np.concatenate([b[keep_l], [s], [e] if e < self.length else [], b[keep_r]])
-        nv = np.concatenate([v[keep_l], [value], [val_at_e] if e < self.length else [], v[keep_r]])
-        return DepthEvents(nb.astype(np.int64), nv.astype(np.int64), self.length)._dedup()
+        arr = np.asarray(intervals, dtype=np.int64).reshape(-1, 2)
+        s = np.clip(arr[:, 0], 0, self.length)
+        e = np.clip(arr[:, 1], 0, self.length)
+        live = e > s
+        s, e = s[live], e[live]
+        if s.shape[0] == 0:
+            return self
+        order = np.argsort(s, kind="stable")
+        s, e = s[order], e[order]
+        # coalesce overlapping/touching intervals so membership tests below
+        # can use one searchsorted against disjoint sorted ranges
+        cmax = np.maximum.accumulate(e)
+        new = np.empty(s.shape[0], dtype=bool)
+        new[0] = True
+        new[1:] = s[1:] > cmax[:-1]
+        gs = s[new]
+        starts_idx = np.flatnonzero(new)
+        ge = cmax[np.append(starts_idx[1:] - 1, s.shape[0] - 1)]
+        # candidate boundaries: original runs + gap edges; value at each is
+        # 0 inside a gap, the underlying run value outside
+        pos = np.unique(
+            np.concatenate([self.boundaries, gs, ge[ge < self.length]])
+        )
+        gi = np.searchsorted(gs, pos, side="right") - 1
+        in_gap = (gi >= 0) & (pos < ge[np.clip(gi, 0, None)])
+        orig = self.values[
+            np.searchsorted(self.boundaries, pos, side="right") - 1
+        ]
+        vals = np.where(in_gap, 0, orig)
+        return DepthEvents(pos, vals, self.length)._dedup()
 
     def maximum(self, other: "DepthEvents") -> "DepthEvents":
         """Per-base max of two depth functions (two-type merge, GCI.py:332-353)."""

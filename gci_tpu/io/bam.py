@@ -113,26 +113,33 @@ def read_bam(
             names=names,
         )
     try:
-        from gci_tpu.native import NativeBam
-
-        nb = NativeBam(path, nthreads=threads, keep_names=keep_names, keep_raw=keep_raw)
-        names = None
-        if keep_names:
-            offs = nb.name_offsets
-            blob = nb.name_blob
-            names = [bytes(blob[offs[i] : offs[i + 1]]) for i in range(len(offs) - 1)]
-        return BamData(
-            references=nb.references,
-            lengths=nb.lengths,
-            header_text=nb.header_text,
-            columns=nb.columns,
-            name_keys=key128(nb.name_hash, nb.name_hash2),
-            names=names,
-            body=nb.body,
-            record_offsets=nb.record_offsets,
-        )
+        return _read_bam_native_whole(path, threads, keep_names, keep_raw)
     except (ImportError, OSError):
         return _read_bam_python(path, keep_names=keep_names, keep_raw=keep_raw)
+
+
+def _read_bam_native_whole(
+    path: str, threads: int, keep_names: bool, keep_raw: bool
+) -> BamData:
+    """Whole-file native parse (also the only path for uncompressed BAMs)."""
+    from gci_tpu.native import NativeBam
+
+    nb = NativeBam(path, nthreads=threads, keep_names=keep_names, keep_raw=keep_raw)
+    names = None
+    if keep_names:
+        offs = nb.name_offsets
+        blob = nb.name_blob
+        names = [bytes(blob[offs[i] : offs[i + 1]]) for i in range(len(offs) - 1)]
+    return BamData(
+        references=nb.references,
+        lengths=nb.lengths,
+        header_text=nb.header_text,
+        columns=nb.columns,
+        name_keys=key128(nb.name_hash, nb.name_hash2),
+        names=names,
+        body=nb.body,
+        record_offsets=nb.record_offsets,
+    )
 
 
 @dataclass
@@ -179,16 +186,24 @@ class BamStream:
         self._native = None
         self._fallback = None
         try:
-            from gci_tpu.native import NativeBamStream
+            from gci_tpu.native import NativeBamStream, UncompressedBamError
 
-            self._native = NativeBamStream(
-                path, nthreads=threads, keep_names=keep_names,
-                comp_range=comp_range, chunk_bytes=chunk_bytes,
-                keep_raw=keep_raw,
-            )
-            self.references = self._native.references
-            self.lengths = self._native.lengths
-            self.header_text = self._native.header_text
+            try:
+                self._native = NativeBamStream(
+                    path, nthreads=threads, keep_names=keep_names,
+                    comp_range=comp_range, chunk_bytes=chunk_bytes,
+                    keep_raw=keep_raw,
+                )
+            except UncompressedBamError:
+                # plain (non-BGZF) BAM: no block framing to stream; parse
+                # whole-file (gci_native.cpp handles the uncompressed case)
+                if comp_range is not None:
+                    raise ValueError(
+                        f"{path}: uncompressed BAM cannot be range-sharded"
+                    )
+                self._fallback = _read_bam_native_whole(
+                    path, threads, keep_names, keep_raw
+                )
         except (ImportError, OSError):
             if comp_range is not None:
                 raise  # range shards need the native reader
@@ -196,9 +211,10 @@ class BamStream:
             self._fallback = _read_bam_python(
                 path, keep_names=keep_names, keep_raw=keep_raw
             )
-            self.references = self._fallback.references
-            self.lengths = self._fallback.lengths
-            self.header_text = self._fallback.header_text
+        src = self._native if self._native is not None else self._fallback
+        self.references = src.references
+        self.lengths = src.lengths
+        self.header_text = src.header_text
 
     def targets_length(self) -> dict[str, int]:
         return dict(zip(self.references, self.lengths))

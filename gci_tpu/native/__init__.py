@@ -171,6 +171,15 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.gci_chunk_copy_names.argtypes = [c.c_void_p, u8p, i64p]
 
 
+class UncompressedBamError(ValueError):
+    """A plain (non-BGZF) BAM was given to the block-streaming reader.
+
+    Plain BAMs have no BGZF framing to stream or range-shard; callers
+    catch this and use the whole-file reader (``NativeBam`` handles the
+    uncompressed case directly).
+    """
+
+
 def get_lib() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
@@ -656,6 +665,10 @@ class NativeBamStream:
         if err:
             msg = err.decode()
             self.close()
+            if msg.startswith("uncompressed BAM"):
+                # plain (non-BGZF) BAM: no block framing to stream — the
+                # caller should fall back to the whole-file reader
+                raise UncompressedBamError(f"{path}: {msg}")
             raise ValueError(f"{path}: {msg}")
         nref = int(lib.gci_bam_stream_num_refs(h))
         self.references = [

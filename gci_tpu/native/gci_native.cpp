@@ -2274,6 +2274,14 @@ struct BamStream {
   }
 };
 
+// Producer-side error reporting: the consumer reads `error` under `mu`
+// (gci_bam_stream_error), so the producer must write it under `mu` too —
+// and only once, so the c_str() the consumer saw can never be reallocated.
+static void stream_set_error(BamStream* bs, const char* msg) {
+  std::lock_guard<std::mutex> lk(bs->mu);
+  if (bs->error.empty()) bs->error = msg;
+}
+
 // Ensure comp_buf holds >= need bytes beyond comp_pos (reads more from the
 // file).  Returns false when EOF prevents it.
 static bool stream_ensure_comp(BamStream* bs, size_t need) {
@@ -2349,7 +2357,7 @@ static StreamChunk* stream_build_chunk(BamStream* bs) {
     }
     int64_t bsize = stream_next_block_size(bs);
     if (bsize < 0) {
-      bs->error = "corrupt BGZF stream";
+      stream_set_error(bs, "corrupt BGZF stream");
       return nullptr;
     }
     if (bsize == 0) break;  // file EOF
@@ -2418,7 +2426,7 @@ static StreamChunk* stream_build_chunk(BamStream* bs) {
       for (auto& th : ts) th.join();
     }
     if (!ok.load()) {
-      bs->error = "BGZF inflate failed";
+      stream_set_error(bs, "BGZF inflate failed");
       return nullptr;
     }
   }
@@ -2462,7 +2470,7 @@ static StreamChunk* stream_build_chunk(BamStream* bs) {
       if (bs->file_eof && blocks.empty()) {
         // end of file, nothing synced: shard had no records
         bs->finished = true;
-        if (pend < size) bs->error = "truncated BAM record";
+        if (pend < size) stream_set_error(bs, "truncated BAM record");
         return nullptr;
       }
       // keep [pend, size) (or a 36-byte tail) and scan again with more data
@@ -2477,7 +2485,7 @@ static StreamChunk* stream_build_chunk(BamStream* bs) {
       bs->carry_map = std::move(nm);
       bs->resync_from = 0;
       if (bs->carry.size() > (512u << 20)) {
-        bs->error = "cannot resync BAM records in byte range";
+        stream_set_error(bs, "cannot resync BAM records in byte range");
         return nullptr;
       }
       return new StreamChunk();  // empty chunk; caller keeps pulling
@@ -2510,7 +2518,7 @@ static StreamChunk* stream_build_chunk(BamStream* bs) {
   if (leftover < size && !bs->finished) {
     if (final_drain) {
       // EOF with a partial record left over: the file is cut short
-      bs->error = "truncated BAM record";
+      stream_set_error(bs, "truncated BAM record");
       return nullptr;
     }
     int64_t cc = coff_of(leftover);
@@ -2770,6 +2778,16 @@ GCI_API void* gci_bam_stream_open(const char* path, int nthreads,
   bs->f = fopen(path, "rb");
   if (!bs->f) {
     bs->error = "cannot open file";
+    return bs;
+  }
+  // uncompressed BAMs ("BAM\1" magic, no BGZF framing) can't stream by
+  // blocks — report a distinct error so the caller falls back to the
+  // whole-file reader (gci_bam_open handles plain BAM)
+  uint8_t magic4[4];
+  size_t got4 = fread(magic4, 1, 4, bs->f);
+  fseek(bs->f, 0, SEEK_SET);
+  if (got4 == 4 && memcmp(magic4, "BAM\1", 4) == 0) {
+    bs->error = "uncompressed BAM stream";
     return bs;
   }
   fseek(bs->f, 0, SEEK_END);

@@ -97,22 +97,27 @@ def run_filter(
         comp_ranges = {path: input_comp_range(path) for path in bam_files}
 
     chunk_bytes = int(os.environ.get("GCI_BAM_CHUNK_BYTES", 64 << 20))
-    streams = [
-        BamStream(
+
+    def open_stream(path: str) -> BamStream:
+        return BamStream(
             path, threads=threads, keep_names=False,
             comp_range=comp_ranges.get(path) if comp_ranges else None,
             chunk_bytes=chunk_bytes,
         )
-        for path in bam_files
-    ]
+
+    # only the first stream opens up-front (it provides the target table);
+    # the rest open lazily in the per-file loop — eagerly constructing all
+    # of them would start every file's producer prefetch (or, in the pure-
+    # Python fallback, load every file whole) before its turn
+    stream0 = open_stream(bam_files[0])
     if chrs_list:
         targets_length = {
             r: l
-            for r, l in zip(streams[0].references, streams[0].lengths)
+            for r, l in zip(stream0.references, stream0.lengths)
             if r in chrs_list
         }
     else:
-        targets_length = streams[0].targets_length()
+        targets_length = stream0.targets_length()
     target_ids = {name: k for k, name in enumerate(targets_length)}
     layout = GenomeLayout.from_targets(targets_length)
 
@@ -195,7 +200,8 @@ def run_filter(
     # across chunk borders and so matches the reference's whole-file dict
     # semantics (GCI.py:166).
     empty_hq = np.empty(0, dtype=[("a", np.uint64), ("b", np.uint64)])
-    for path, stream in zip(bam_files, streams):
+    for file_no, path in enumerate(bam_files):
+        stream = stream0 if file_no == 0 else open_stream(path)
         hq_file_parts: list[np.ndarray] = []
         with stage(f"{log_reads_type}:bam_pack:{path}") as pack_stage, stream:
             # map this file's ref ids onto the (possibly chrs-restricted) table

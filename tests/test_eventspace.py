@@ -134,3 +134,48 @@ def test_empty_and_degenerate():
     # zero-length reads contribute nothing
     ev2 = DepthEvents.from_reads(np.array([5, 7]), np.array([5, 7]), 20)
     assert ev2.total() == 0
+
+
+def test_mask_intervals_many_gaps_one_pass(rng):
+    """10^4 gaps (fragmented draft assembly shape): oracle parity and
+    O((runs+gaps) log) cost — the old per-interval rebuild was
+    O(gaps*runs) and would take minutes here."""
+    import time
+
+    L = 2_000_000
+    s, e = random_reads(rng, L, 5_000)
+    d = per_base(s, e, L)
+    n_gaps = 10_000
+    gs = rng.integers(0, L - 50, size=n_gaps)
+    ge = gs + rng.integers(1, 50, size=n_gaps)
+    gaps = list(zip(gs.tolist(), ge.tolist()))  # unsorted, overlapping
+    want = d.copy()
+    for a, b in gaps:
+        want[a:b] = 0
+    ev = DepthEvents.from_reads(s, e, L)
+    t0 = time.perf_counter()
+    got = ev.mask_intervals(gaps)
+    elapsed = time.perf_counter() - t0
+    np.testing.assert_array_equal(got.materialize(), want)
+    assert elapsed < 2.0, f"mask_intervals took {elapsed:.2f}s for 1e4 gaps"
+
+
+def test_mask_intervals_edge_cases():
+    ev = DepthEvents.from_reads(
+        np.array([0, 10], np.int64), np.array([20, 30], np.int64), 40
+    )
+    # empty list, zero-length interval, interval past the end, full cover
+    np.testing.assert_array_equal(
+        ev.mask_intervals([]).materialize(), ev.materialize()
+    )
+    np.testing.assert_array_equal(
+        ev.mask_intervals([(5, 5)]).materialize(), ev.materialize()
+    )
+    want = ev.materialize()
+    want[35:] = 0
+    np.testing.assert_array_equal(
+        ev.mask_intervals([(35, 100)]).materialize(), want
+    )
+    np.testing.assert_array_equal(
+        ev.mask_intervals([(0, 40)]).materialize(), np.zeros(40, np.int64)
+    )
