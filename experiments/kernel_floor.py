@@ -1,0 +1,212 @@
+"""Attribute the fused-scan compute floor (VERDICT r3 'Weak #1' / 'Next #2').
+
+Measured r3: the production masked kernel runs ~24 ms per 0.5G-slot pass at
+rows=2048 (287.9 GB/s of the 13-byte/slot traffic), and a pure copy kernel
+with the same grid reaches 495 GB/s at rows=4096 — but the scan kernel does
+not improve with rows because a ~20 ms COMPUTE floor is invariant to rows,
+to the lane-scan impl (MXU vs VPU), and to the sublane-carry impl.
+
+This script times ablation variants of the kernel on the real chip to
+attribute the floor, optionally capturing an xprof trace.  Results feed the
+committed note in the pallas_scan docstring + the r4 kernel changes.
+
+Usage:  python experiments/kernel_floor.py [--trace DIR] [--rows N]
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gci_tpu.utils.jaxcache import enable_compile_cache
+
+enable_compile_cache(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache")
+)
+
+from gci_tpu.depth import pallas_scan as ps  # noqa: E402
+
+LANES = 128
+TOTAL = 1 << 29  # 0.5G slots, the r3 measurement size
+
+
+def timeit(fn, *args, n=3):
+    out = fn(*args)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[-1:])  # sync
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[-1:])
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def grid_call(kernel_body, n_out_i32, n_out_i8, rows, n_in=1):
+    """pallas_call factory with the production grid structure."""
+    n_chunks = TOTAL // (rows * LANES)
+    in_specs = [
+        pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0))
+        for _ in range(n_in)
+    ]
+    out_specs = [
+        pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0))
+        for _ in range(n_out_i32 + n_out_i8)
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int32)
+        for _ in range(n_out_i32)
+    ] + [
+        jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int8)
+        for _ in range(n_out_i8)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    return pl.pallas_call(
+        kernel_body,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=ps._grid_params(rows),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", default=None)
+    ap.add_argument("--rows", type=int, default=2048)
+    ap.add_argument("--variants", default="all")
+    args = ap.parse_args()
+    rows = args.rows
+    n_chunks = TOTAL // (rows * LANES)
+
+    rng = np.random.default_rng(0)
+    delta_h = np.zeros(TOTAL, np.int32)
+    idx = rng.integers(0, TOTAL, 4_000_000)
+    np.add.at(delta_h, idx, 1)
+    delta = jnp.asarray(delta_h)
+    gap = jnp.zeros(TOTAL, jnp.int8)
+    valid = jnp.ones(TOTAL, jnp.int8)
+    carry = jnp.zeros(n_chunks, jnp.int32)
+
+    d2 = delta.reshape(n_chunks, rows, LANES)
+
+    results = {}
+
+    def report(name, secs, nbytes):
+        results[name] = (secs, nbytes / secs / 1e9)
+        print(f"{name:28s} {secs*1e3:8.2f} ms   {nbytes/secs/1e9:7.1f} GB/s")
+
+    # --- production masked kernel (13 bytes/slot: 4+1+1 in, 4+3 out) ---
+    @functools.partial(jax.jit, static_argnames=())
+    def prod(delta, gap, valid):
+        return ps.fused_depth_scan_masked(delta, gap, valid, -1, 0, rows=rows)
+
+    if args.variants in ("all", "prod"):
+        report("production-masked", timeit(prod, delta, gap, valid), 13 * TOTAL)
+
+    # --- copy kernel (4 in + 4 out bytes/slot) ---
+    def copy_body(carry_s, x, o):
+        o[...] = x[...]
+
+    copy_call = jax.jit(lambda c, x: grid_call(copy_body, 1, 0, rows)(c, x))
+    if args.variants in ("all", "copy"):
+        report("copy", timeit(copy_call, carry, d2), 8 * TOTAL)
+
+    # --- scan-only (lane scan + row carry + add), 4+4 bytes ---
+    def scan_body(carry_s, x, o):
+        i = pl.program_id(0)
+        ps._scan_only_kernel(carry_s[i], x.at[0], o.at[0])
+
+    scan_call = jax.jit(lambda c, x: grid_call(scan_body, 1, 0, rows)(c, x))
+    if args.variants in ("all", "scan"):
+        report("scan-only", timeit(scan_call, carry, d2), 8 * TOTAL)
+
+    # --- lane scan only (no row carry) ---
+    def lane_body(carry_s, x, o):
+        o[...] = ps._lane_inclusive_scan(x[0])[None]
+
+    lane_call = jax.jit(lambda c, x: grid_call(lane_body, 1, 0, rows)(c, x))
+    if args.variants in ("all", "lane"):
+        report("lane-scan-only(MXU12)", timeit(lane_call, carry, d2), 8 * TOTAL)
+
+    # --- lane scan VPU rolls only ---
+    def lanev_body(carry_s, x, o):
+        o[...] = ps._lane_inclusive_scan_rolls(x[0])[None]
+
+    lanev_call = jax.jit(lambda c, x: grid_call(lanev_body, 1, 0, rows)(c, x))
+    if args.variants in ("all", "lanev"):
+        report("lane-scan-only(VPU7)", timeit(lanev_call, carry, d2), 8 * TOTAL)
+
+    # --- row carry only (no lane scan) ---
+    def carry_body(carry_s, x, o):
+        o[...] = ps._row_carry_bcast(x[0])[None]
+
+    carry_call = jax.jit(lambda c, x: grid_call(carry_body, 1, 0, rows)(c, x))
+    if args.variants in ("all", "rowcarry"):
+        report("row-carry-only", timeit(carry_call, carry, d2), 8 * TOTAL)
+
+    # --- 8-bit-split DEFAULT-precision lane scan (4 cheap MXU passes) ---
+    def lane8_body(carry_s, x, o):
+        o[...] = lane_scan_8bit(x[0])[None]
+
+    lane8_call = jax.jit(lambda c, x: grid_call(lane8_body, 1, 0, rows)(c, x))
+    if args.variants in ("all", "lane8"):
+        report("lane-scan-8bit(MXU4)", timeit(lane8_call, carry, d2), 8 * TOTAL)
+        got = lane8_call(carry, d2)
+        want = np.cumsum(np.asarray(d2).reshape(n_chunks * rows, LANES), axis=1)
+        ok = np.array_equal(
+            np.asarray(got).reshape(n_chunks * rows, LANES), want
+        )
+        print(f"  8-bit-split exactness: {ok}")
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            prod(delta, gap, valid)[0].block_until_ready()
+            _ = np.asarray(prod(delta, gap, valid)[0][-1:])
+        print(f"trace written to {args.trace}")
+
+    print({k: round(v[0] * 1e3, 2) for k, v in results.items()})
+
+
+def lane_scan_8bit(x):
+    """Inclusive lane cumsum via four 8-bit-piece DEFAULT-precision matmuls.
+
+    Each piece is in [0, 255] -> exactly representable in bf16 (8 mantissa
+    bits), the 0/1 triangular matrix is exact, and per-row accumulations are
+    < 128*255 < 2^15 -> exact in f32.  Four 1-pass matmuls instead of the
+    12 MXU passes the HIGHEST-precision 16-bit-halves form costs.
+    """
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    tri = (i0 <= i1).astype(jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    out = jnp.zeros(x.shape, jnp.int32)
+    for shift in (0, 8, 16, 24):
+        piece = jnp.bitwise_and(
+            jax.lax.shift_right_logical(x, shift), 0xFF
+        ).astype(jnp.float32)
+        cs = jax.lax.dot_general(
+            piece, tri, dn, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+        out = out + jax.lax.shift_left(cs.astype(jnp.int32), shift)
+    return out
+
+
+if __name__ == "__main__":
+    main()
