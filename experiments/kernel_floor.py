@@ -41,16 +41,27 @@ LANES = 128
 TOTAL = 1 << 29  # 0.5G slots, the r3 measurement size
 
 
-def timeit(fn, *args, n=3):
-    out = fn(*args)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[-1:])  # sync
-    times = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[-1:])
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+ITERS = 16
+
+
+def timeit_chained(make_step, *args):
+    """Per-pass seconds via the bench's two-point method: `make_step(n)`
+    returns a jitted fn running n serially-dependent passes; per-pass =
+    (t_16 - t_1) / 15, which cancels the ~19 ms tunnel dispatch latency."""
+
+    def timed(n):
+        fn = make_step(n)
+        _ = int(np.asarray(fn(*args)))  # compile + warmup
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = int(np.asarray(fn(*args)))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    t1 = timed(1)
+    tn = timed(ITERS)
+    return (tn - t1) / (ITERS - 1)
 
 
 def grid_call(kernel_body, n_out_i32, n_out_i8, rows, n_in=1):
@@ -109,65 +120,107 @@ def main():
 
     def report(name, secs, nbytes):
         results[name] = (secs, nbytes / secs / 1e9)
-        print(f"{name:28s} {secs*1e3:8.2f} ms   {nbytes/secs/1e9:7.1f} GB/s")
+        print(
+            f"{name:28s} {secs*1e3:8.2f} ms/pass   {nbytes/secs/1e9:7.1f} GB/s",
+            flush=True,
+        )
 
     # --- production masked kernel (13 bytes/slot: 4+1+1 in, 4+3 out) ---
-    @functools.partial(jax.jit, static_argnames=())
-    def prod(delta, gap, valid):
-        return ps.fused_depth_scan_masked(delta, gap, valid, -1, 0, rows=rows)
+    def make_prod(n):
+        @jax.jit
+        def f(delta, gap, valid):
+            def body(_, d):
+                depth, *_ = ps.fused_depth_scan_masked(
+                    d, gap, valid, -1, 0, rows=rows
+                )
+                return depth
+
+            return jax.lax.fori_loop(0, n, body, delta)[-1]
+
+        return f
 
     if args.variants in ("all", "prod"):
-        report("production-masked", timeit(prod, delta, gap, valid), 13 * TOTAL)
+        report(
+            "production-masked",
+            timeit_chained(make_prod, delta, gap, valid),
+            13 * TOTAL,
+        )
+
+    def make_simple(body_kernel, n_in=1):
+        call = grid_call(body_kernel, 1, 0, rows, n_in=n_in)
+
+        def make(n):
+            @jax.jit
+            def f(c, x):
+                def body(_, d):
+                    (o,) = call(c, d) if n_in == 1 else call(c, d, d)
+                    return o
+
+                return jax.lax.fori_loop(0, n, body, x).reshape(-1)[-1]
+
+            return f
+
+        return make
 
     # --- copy kernel (4 in + 4 out bytes/slot) ---
     def copy_body(carry_s, x, o):
         o[...] = x[...]
 
-    copy_call = jax.jit(lambda c, x: grid_call(copy_body, 1, 0, rows)(c, x))
     if args.variants in ("all", "copy"):
-        report("copy", timeit(copy_call, carry, d2), 8 * TOTAL)
+        report("copy", timeit_chained(make_simple(copy_body), carry, d2), 8 * TOTAL)
 
     # --- scan-only (lane scan + row carry + add), 4+4 bytes ---
     def scan_body(carry_s, x, o):
         i = pl.program_id(0)
         ps._scan_only_kernel(carry_s[i], x.at[0], o.at[0])
 
-    scan_call = jax.jit(lambda c, x: grid_call(scan_body, 1, 0, rows)(c, x))
     if args.variants in ("all", "scan"):
-        report("scan-only", timeit(scan_call, carry, d2), 8 * TOTAL)
+        report("scan-only", timeit_chained(make_simple(scan_body), carry, d2), 8 * TOTAL)
 
     # --- lane scan only (no row carry) ---
     def lane_body(carry_s, x, o):
         o[...] = ps._lane_inclusive_scan(x[0])[None]
 
-    lane_call = jax.jit(lambda c, x: grid_call(lane_body, 1, 0, rows)(c, x))
     if args.variants in ("all", "lane"):
-        report("lane-scan-only(MXU12)", timeit(lane_call, carry, d2), 8 * TOTAL)
+        report(
+            "lane-scan-only(MXU12)",
+            timeit_chained(make_simple(lane_body), carry, d2),
+            8 * TOTAL,
+        )
 
     # --- lane scan VPU rolls only ---
     def lanev_body(carry_s, x, o):
         o[...] = ps._lane_inclusive_scan_rolls(x[0])[None]
 
-    lanev_call = jax.jit(lambda c, x: grid_call(lanev_body, 1, 0, rows)(c, x))
     if args.variants in ("all", "lanev"):
-        report("lane-scan-only(VPU7)", timeit(lanev_call, carry, d2), 8 * TOTAL)
+        report(
+            "lane-scan-only(VPU7)",
+            timeit_chained(make_simple(lanev_body), carry, d2),
+            8 * TOTAL,
+        )
 
     # --- row carry only (no lane scan) ---
     def carry_body(carry_s, x, o):
         o[...] = ps._row_carry_bcast(x[0])[None]
 
-    carry_call = jax.jit(lambda c, x: grid_call(carry_body, 1, 0, rows)(c, x))
     if args.variants in ("all", "rowcarry"):
-        report("row-carry-only", timeit(carry_call, carry, d2), 8 * TOTAL)
+        report(
+            "row-carry-only",
+            timeit_chained(make_simple(carry_body), carry, d2),
+            8 * TOTAL,
+        )
 
     # --- 8-bit-split DEFAULT-precision lane scan (4 cheap MXU passes) ---
     def lane8_body(carry_s, x, o):
         o[...] = lane_scan_8bit(x[0])[None]
 
-    lane8_call = jax.jit(lambda c, x: grid_call(lane8_body, 1, 0, rows)(c, x))
     if args.variants in ("all", "lane8"):
-        report("lane-scan-8bit(MXU4)", timeit(lane8_call, carry, d2), 8 * TOTAL)
-        got = lane8_call(carry, d2)
+        report(
+            "lane-scan-8bit(MXU4)",
+            timeit_chained(make_simple(lane8_body), carry, d2),
+            8 * TOTAL,
+        )
+        got = grid_call(lane8_body, 1, 0, rows)(carry, d2)[0]
         want = np.cumsum(np.asarray(d2).reshape(n_chunks * rows, LANES), axis=1)
         ok = np.array_equal(
             np.asarray(got).reshape(n_chunks * rows, LANES), want
@@ -175,9 +228,9 @@ def main():
         print(f"  8-bit-split exactness: {ok}")
 
     if args.trace:
+        prod1 = make_prod(4)
         with jax.profiler.trace(args.trace):
-            prod(delta, gap, valid)[0].block_until_ready()
-            _ = np.asarray(prod(delta, gap, valid)[0][-1:])
+            _ = int(np.asarray(prod1(delta, gap, valid)))
         print(f"trace written to {args.trace}")
 
     print({k: round(v[0] * 1e3, 2) for k, v in results.items()})

@@ -76,6 +76,87 @@ def _compact_fn(size: int):
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=4)
+def _counts_fn(n: int):
+    """One program summing n bitmaps -> (n,) int32 counts (one readback)."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(*bitmaps):
+        return jnp.stack([jnp.sum(b != 0, dtype=jnp.int32) for b in bitmaps])
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _compact_pack_fn(sizes: tuple, gather_stream: int):
+    """One program compacting several bitmaps (static padded sizes) and
+    gathering `values` at stream ``gather_stream``'s indices plus at the
+    given offsets; everything returns as ONE packed int32 array.
+
+    This is the device backend's answer to per-call dispatch latency
+    (measured ~19 ms/call through the tunnel, BENCH_r03): the edge/change
+    readback collapses from ~8 dispatches + transfers into counts (1) +
+    this (1) + a single packed transfer.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gci_tpu.depth.device import _local_prefix_sum
+
+    def f(values, offsets, *bitmaps):
+        parts = []
+        gathered = None
+        for k, (b, size) in enumerate(zip(bitmaps, sizes)):
+            if size == 0:
+                idx = jnp.full((0,), -1, jnp.int32)
+            else:
+                pos = _local_prefix_sum((b != 0).astype(jnp.int32))
+                kk = jnp.arange(1, size + 1, dtype=pos.dtype)
+                idx = jnp.where(
+                    kk <= pos[-1], jnp.searchsorted(pos, kk), -1
+                ).astype(jnp.int32)
+            parts.append(idx)
+            if k == gather_stream:
+                gathered = jnp.take(values, jnp.clip(idx, 0, None))
+        parts.append(gathered)
+        parts.append(jnp.take(values, offsets))
+        return jnp.concatenate(parts)
+
+    return jax.jit(f)
+
+
+def _batched_edge_readback(array, layout: GenomeLayout, bitmaps,
+                           gather_stream: int):
+    """Compact every bitmap and read values at the gather stream's indices
+    and at all target offsets — 2 dispatches + 1 packed transfer total.
+
+    Returns (list of int64 index arrays per bitmap, gathered values,
+    values at layout.offsets).
+    """
+    import jax.numpy as jnp
+
+    counts = [int(c) for c in np.asarray(_counts_fn(len(bitmaps))(*bitmaps))]
+    sizes = tuple(
+        0 if c == 0 else 1 << (c - 1).bit_length() for c in counts
+    )
+    offsets = jnp.asarray(np.asarray(layout.offsets, np.int32))
+    packed = np.asarray(
+        _compact_pack_fn(sizes, gather_stream)(array, offsets, *bitmaps)
+    )
+    out_idx = []
+    cursor = 0
+    for c, s in zip(counts, sizes):
+        out_idx.append(packed[cursor : cursor + c].astype(np.int64))
+        cursor += s
+    g_size = sizes[gather_stream]
+    g_count = counts[gather_stream]
+    gathered = packed[cursor : cursor + g_count].astype(np.int64)
+    cursor += g_size
+    offset_vals = packed[cursor:].astype(np.int64)
+    return out_idx, gathered, offset_vals
+
+
 def compact_indices(bitmap) -> np.ndarray:
     """Device-side compaction of a nonzero bitmap into sorted int64 indices.
 
@@ -148,10 +229,9 @@ def valid_marks_for(layout: GenomeLayout, flank_len: int, pad_total: int):
 
 
 @functools.lru_cache(maxsize=16)
-def _fused_fn(pad_total: int):
-    """Scatter + fused scan as one compiled program (static genome size)."""
+def _scan_from_delta_fn(pad_total: int):
+    """Fused scan on an existing delta array (static genome size)."""
     import jax
-    import jax.numpy as jnp
 
     from gci_tpu.depth.pallas_scan import (
         DEF_ROWS,
@@ -164,13 +244,27 @@ def _fused_fn(pad_total: int):
         jax.default_backend() == "tpu" and pad_total % (DEF_ROWS * LANES) == 0
     )
 
+    def step(delta, gap, valid, lo, hi):
+        if use_kernel:
+            return fused_depth_scan_masked(delta, gap, valid, lo, hi)
+        return fused_depth_scan_masked_xla(delta, gap, valid, lo, hi)
+
+    return jax.jit(step)
+
+
+@functools.lru_cache(maxsize=16)
+def _fused_fn(pad_total: int):
+    """Scatter + fused scan as one compiled program (static genome size)."""
+    import jax
+    import jax.numpy as jnp
+
+    scan = _scan_from_delta_fn(pad_total)
+
     def step(gs, ge, live, gap, valid, lo, hi):
         delta = jnp.zeros(pad_total, jnp.int32)
         delta = delta.at[gs].add(live, mode="drop")
         delta = delta.at[ge].add(-live, mode="drop")
-        if use_kernel:
-            return fused_depth_scan_masked(delta, gap, valid, lo, hi)
-        return fused_depth_scan_masked_xla(delta, gap, valid, lo, hi)
+        return scan(delta, gap, valid, lo, hi)
 
     return jax.jit(step)
 
@@ -200,6 +294,20 @@ class DeviceDepth(ResidentDepth):
         self._change_idx = change_idx  # run boundaries of self.array
         self._pending_masked_edges = None  # (key, intervals) valid post-mask
         self._events = None
+        # host value lookup for to_events: sorted positions + values at
+        # (change indices union target offsets), filled by the batched
+        # readback so to_events needs no further device round-trips
+        self._gather_pos: np.ndarray | None = None
+        self._gather_vals: np.ndarray | None = None
+
+    def _set_gather_map(self, change_idx, change_vals, offset_vals) -> None:
+        pos = np.concatenate(
+            [change_idx, np.asarray(self.layout.offsets, np.int64)]
+        )
+        vals = np.concatenate([change_vals, offset_vals])
+        order = np.argsort(pos, kind="stable")
+        self._gather_pos = pos[order]
+        self._gather_vals = vals[order]
 
     # ------------------------------------------------------------ construct
     @staticmethod
@@ -284,12 +392,59 @@ class DeviceDepth(ResidentDepth):
             gap_in, valid,
             jnp.int32(lo), jnp.int32(hi),
         )
-        change_idx = compact_indices(change)
+        return cls._from_kernel_outputs(
+            layout, pad_total, raw, rise, fall, change, gap_marks, gaps,
+            flank_len, lo, hi,
+        )
+
+    @classmethod
+    def from_delta(
+        cls,
+        layout: GenomeLayout,
+        delta,
+        flank_len: int,
+        gaps=None,
+        issue_range: tuple[int, int] = (-1, 0),
+    ) -> "DeviceDepth":
+        """Like ``from_reads`` but on an already-accumulated device delta
+        array (the pack<->scatter overlap path: deltas were scattered
+        incrementally while the BAM inflated)."""
+        import jax.numpy as jnp
+
+        pad_total = int(delta.shape[0])
+        assert pad_total == cls.pad_total_for(layout.total_slots)
+        gap_marks = cls.gap_marks_for(layout, gaps, pad_total)
+        valid = valid_marks_for(layout, flank_len, pad_total)
+        lo, hi = issue_range
+        gap_in = (
+            gap_marks
+            if gap_marks is not None
+            else jnp.zeros(pad_total, jnp.int8)
+        )
+        raw, rise, fall, change = _scan_from_delta_fn(pad_total)(
+            delta, gap_in, valid, jnp.int32(lo), jnp.int32(hi)
+        )
+        return cls._from_kernel_outputs(
+            layout, pad_total, raw, rise, fall, change, gap_marks, gaps,
+            flank_len, lo, hi,
+        )
+
+    @classmethod
+    def _from_kernel_outputs(cls, layout, pad_total, raw, rise, fall, change,
+                             gap_marks, gaps, flank_len, lo, hi):
+        from gci_tpu.depth.device import edge_indices_to_intervals
+
+        # one batched readback for all three edge streams + run values at
+        # the change indices and target offsets (2 dispatches total)
+        (rise_idx, fall_idx, change_idx), change_vals, offset_vals = (
+            _batched_edge_readback(raw, layout, (rise, fall, change), 2)
+        )
         intervals = edge_indices_to_intervals(
-            layout, compact_indices(rise), compact_indices(fall), flank_len
+            layout, rise_idx, fall_idx, flank_len
         )
         dd = cls(layout, raw, pad_total, gap_marks, gaps_src=gaps,
                  change_idx=change_idx)
+        dd._set_gather_map(change_idx, change_vals, offset_vals)
         key = (float(lo), float(hi), int(flank_len))
         dd._pending_masked_edges = (key, intervals)
         if gap_marks is None:
@@ -348,9 +503,11 @@ class DeviceDepth(ResidentDepth):
             jnp.asarray([leftmost], jnp.int32),
             jnp.asarray([rightmost], jnp.int32),
         )
+        (rise_idx, fall_idx), _, _ = _batched_edge_readback(
+            self.array, self.layout, (rise, fall), 0
+        )
         out = edge_indices_to_intervals(
-            self.layout, compact_indices(rise), compact_indices(fall),
-            flank_len, start_pos,
+            self.layout, rise_idx, fall_idx, flank_len, start_pos,
         )
         if start_pos == 0:
             self._edge_cache[key] = out
@@ -363,16 +520,21 @@ class DeviceDepth(ResidentDepth):
         available; values from one device gather."""
         if self._events is not None:
             return self._events
-        import jax.numpy as jnp
-
-        if self._change_idx is None:
+        if self._change_idx is None or self._gather_pos is None:
+            # masked/merged objects: recompute run boundaries with the same
+            # batched 2-dispatch readback the construction path uses
             _, _, change_fn, _ = _elementwise_fns()
-            self._change_idx = compact_indices(change_fn(self.array))
+            change = change_fn(self.array)
+            (self._change_idx,), change_vals, offset_vals = (
+                _batched_edge_readback(self.array, self.layout, (change,), 0)
+            )
+            self._set_gather_map(self._change_idx, change_vals, offset_vals)
 
         def gather(all_idx: np.ndarray) -> np.ndarray:
-            return np.asarray(
-                jnp.take(self.array, jnp.asarray(all_idx.astype(np.int32)))
-            ).astype(np.int64)
+            # all_idx ⊆ change indices ∪ target offsets — both already on
+            # host from the packed readback; no device round-trip
+            j = np.searchsorted(self._gather_pos, all_idx)
+            return self._gather_vals[j]
 
         self._events = events_from_change_indices(
             self.layout, self._change_idx, gather

@@ -173,6 +173,91 @@ def _compact_gather_fn(size: int):
     return jax.jit(f)
 
 
+def resident_chunk_slots(
+    total: int,
+    chunk_slots: int = 256 * 1024 * 1024,
+    kernel: str = "auto",
+    pallas_rows: int | None = None,
+) -> int:
+    """The aligned chunk size the streamed scan will use — the overlap
+    accumulator must shape its resident delta with the same value."""
+    _, aligned = _resolve_kernel(kernel, chunk_slots, pallas_rows, total)
+    return aligned
+
+
+def events_from_delta2d_streamed(
+    layout: GenomeLayout,
+    delta2d,
+    chunk_slots: int = 256 * 1024 * 1024,
+    kernel: str = "auto",
+    pallas_rows: int | None = None,
+):
+    """{target: DepthEvents} from a device-resident (n_chunks, chunk_slots)
+    delta (the pack<->scatter overlap path).
+
+    Chunk carries come from one device pass over the resident delta
+    (per-chunk sums, host cumsum) instead of the sorted-event counts;
+    everything downstream is the same 2-calls-per-chunk economy as
+    ``events_from_reads_streamed``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gci_tpu.depth.base import events_from_change_indices
+
+    total = layout.total_slots
+    scan, aligned = _resolve_kernel(kernel, chunk_slots, pallas_rows, total)
+    n_chunks, cs = delta2d.shape
+    assert cs == aligned, "resident delta chunking must match the scan plan"
+
+    sums = np.asarray(
+        jax.jit(lambda d: jnp.sum(d, axis=1, dtype=jnp.int32))(delta2d)
+    ).astype(np.int64)
+    carries = np.concatenate([[0], np.cumsum(sums)[:-1]])
+
+    @jax.jit
+    def chunk_step(delta, carry, prev0):
+        depth = scan(delta) + carry
+        prev = jnp.concatenate([prev0[None].astype(depth.dtype), depth[:-1]])
+        change = (depth != prev).astype(jnp.int8)
+        return depth, change, jnp.sum(change, dtype=jnp.int32)
+
+    all_idx: list[np.ndarray] = []
+    all_vals: list[np.ndarray] = []
+    for c in range(n_chunks):
+        a = c * cs
+        if a >= total:
+            break
+        b = min(a + cs, total)
+        carry = np.int32(carries[c])
+        prev0 = np.int32(carry if a > 0 else -1)
+        depth_chunk, change, n = chunk_step(
+            delta2d[c], carry, jnp.asarray(prev0)
+        )
+        n = int(n)
+        if n == 0:
+            continue
+        size = 1 << (n - 1).bit_length()
+        idx_d, vals_d = _compact_gather_fn(size)(depth_chunk, change)
+        idx = np.asarray(idx_d)[:n].astype(np.int64)
+        vals = np.asarray(vals_d)[:n].astype(np.int64)
+        keep = idx < (b - a)
+        idx, vals = idx[keep], vals[keep]
+        if idx.shape[0] == 0:
+            continue
+        all_idx.append(idx + a)
+        all_vals.append(vals)
+
+    idx = np.concatenate(all_idx) if all_idx else np.zeros(1, np.int64)
+    vals = np.concatenate(all_vals) if all_vals else np.zeros(1, np.int64)
+
+    def gather(query: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(idx, query, side="right") - 1
+        return vals[np.clip(pos, 0, None)]
+
+    return events_from_change_indices(layout, idx, gather)
+
+
 def events_from_reads_streamed(
     layout: GenomeLayout,
     target_id: np.ndarray,

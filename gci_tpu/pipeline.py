@@ -44,6 +44,48 @@ def _require_writable(path: str, force: bool) -> None:
     require_writable(path, force)
 
 
+def _make_overlap_accumulator(
+    depth_backend, paf_files, bam_files, multihost, layout, flank_len
+):
+    """Pack<->scatter overlap accumulator, when semantics allow it.
+
+    Only the single-BAM no-PAF single-process shape qualifies: curation is
+    an identity fold there, so last-wins dedup can fold incrementally and
+    each chunk's deltas scatter asynchronously during pack (reference
+    analogue: the GCI.py:146-169 window streaming).  Multi-file or PAF runs
+    need the full cross-file curation before any depth math.
+    """
+    if paf_files or len(bam_files) != 1 or multihost:
+        return None
+    if depth_backend not in ("device", "streamed"):
+        return None
+    if os.environ.get("GCI_NO_OVERLAP"):
+        return None
+    from gci_tpu.depth.accum import STREAM_SLOT_LIMIT
+    from gci_tpu.depth.overlap import DeltaAccumulator
+
+    total = layout.total_slots
+    if depth_backend == "device" and total <= STREAM_SLOT_LIMIT:
+        from gci_tpu.depth.fused import DeviceDepth
+
+        a = DeltaAccumulator(
+            layout, flank_len, DeviceDepth.pad_total_for(total)
+        )
+        a.mode = "device"
+        return a
+    from gci_tpu.depth.streamed import resident_chunk_slots
+
+    cs = resident_chunk_slots(total)
+    n_chunks = -(-total // cs)
+    # the resident delta must fit HBM alongside the chunk-scan workspaces
+    budget = int(os.environ.get("GCI_OVERLAP_MAX_BYTES", 14 * 1024**3))
+    if n_chunks * cs * 4 > budget:
+        return None
+    a = DeltaAccumulator(layout, flank_len, cs)
+    a.mode = "streamed"
+    return a
+
+
 def run_filter(
     paf_files: list[str],
     bam_files: list[str],
@@ -199,6 +241,15 @@ def run_filter(
     # over the concatenated per-chunk survivors, which preserves file order
     # across chunk borders and so matches the reference's whole-file dict
     # semantics (GCI.py:166).
+    #
+    # Single-BAM no-PAF device/streamed runs additionally overlap pack with
+    # the DEVICE scatter: curation is an identity fold there, so each
+    # chunk's last-wins survivors scatter (with retraction of replaced
+    # records) into a resident delta while the producer inflates the next
+    # chunk; the final scan starts with the delta already accumulated.
+    acc = _make_overlap_accumulator(
+        depth_backend, paf_files, bam_files, multihost, layout, flank_len
+    )
     empty_hq = np.empty(0, dtype=[("a", np.uint64), ("b", np.uint64)])
     for file_no, path in enumerate(bam_files):
         stream = stream0 if file_no == 0 else open_stream(path)
@@ -228,6 +279,16 @@ def run_filter(
                         chunk.name_keys, mask, chunk.columns["mapq"], mq_cutoff
                     )
                 )
+                if acc is not None:
+                    surv = dedup_last_wins(chunk.name_keys, mask)
+                    if surv.size:
+                        acc.add_chunk(
+                            keys_view(chunk.name_keys[surv]),
+                            gtid[surv].astype(np.int32),
+                            chunk.columns["pos"][surv].astype(np.int64),
+                            chunk.columns["ref_end"][surv].astype(np.int64),
+                        )
+                    continue
                 idx = np.flatnonzero(mask)
                 if idx.size:
                     cand_parts.append((
@@ -297,7 +358,21 @@ def run_filter(
         # O(reads) event-space form (no per-base arrays); "device"/
         # "sharded"/"streamed" force the accelerator paths; "numpy" is the
         # host oracle.
-        if depth_backend == "events":
+        if acc is not None:
+            # overlap path: the delta already accumulated during pack
+            from gci_tpu.depth.fused import DeviceDepth
+            from gci_tpu.depth.streamed import events_from_delta2d_streamed
+
+            if acc.mode == "device":
+                depths = DeviceDepth.from_delta(
+                    layout, acc.delta_flat(), flank_len, gaps=gaps,
+                    issue_range=(-1, threshold),
+                )
+            else:
+                depths = events_from_delta2d_streamed(
+                    layout, acc.delta2d, chunk_slots=acc.chunk_slots
+                )
+        elif depth_backend == "events":
             from gci_tpu.depth.eventspace import events_dict_from_reads
 
             depths = events_dict_from_reads(

@@ -174,3 +174,85 @@ def test_run_gci_streamed_backend_matches_events(tmp_path):
         else:
             with open(p1, "rb") as a, open(p2, "rb") as b:
                 assert a.read() == b.read(), name
+
+
+def test_overlap_accumulator_matches_events_with_duplicates(rng):
+    """Pack<->scatter overlap (VERDICT r3 'Next #5'): incremental last-wins
+    fold + retraction over multiple chunks equals the batch dedup exactly,
+    including names replaced across chunks (and replaced twice)."""
+    from gci_tpu.depth.eventspace import events_dict_from_reads
+    from gci_tpu.depth.overlap import DeltaAccumulator
+    from gci_tpu.depth.streamed import events_from_delta2d_streamed
+    from gci_tpu.filters.cascade import dedup_last_wins
+    from gci_tpu.io.names import hash_names, keys_view
+
+    lens = {"c1": 5000, "c2": 3000}
+    layout = GenomeLayout.from_targets(lens)
+    n = 600
+    names = [f"r{int(rng.integers(0, 250))}".encode() for _ in range(n)]
+    keys = hash_names(names)
+    tid = rng.integers(0, 2, n).astype(np.int32)
+    L = np.array([5000, 3000])[tid]
+    start = (L * rng.random(n) * 0.8).astype(np.int64)
+    end = np.minimum(start + rng.integers(30, 900, n), L)
+
+    # batch oracle: global last-wins then events
+    surv = dedup_last_wins(keys, np.ones(n, bool))
+    want = events_dict_from_reads(
+        layout, tid[surv], start[surv], end[surv], flank_len=15
+    )
+
+    # incremental: 7 chunks in file order, each deduped within-chunk
+    from gci_tpu.depth.streamed import resident_chunk_slots
+
+    cs = resident_chunk_slots(layout.total_slots, chunk_slots=4096)
+    acc = DeltaAccumulator(layout, 15, cs)
+    bounds = np.linspace(0, n, 8).astype(int)
+    for k in range(7):
+        lo, hi = bounds[k], bounds[k + 1]
+        csurv = dedup_last_wins(keys[lo:hi], np.ones(hi - lo, bool)) + lo
+        acc.add_chunk(
+            keys_view(keys[csurv]), tid[csurv], start[csurv], end[csurv]
+        )
+    got = events_from_delta2d_streamed(layout, acc.delta2d, chunk_slots=4096)
+    assert set(got) == set(want)
+    for t in want:
+        np.testing.assert_array_equal(
+            got[t].materialize(), want[t].materialize(), err_msg=t
+        )
+
+
+def test_run_gci_overlap_multi_chunk_matches_events(tmp_path, rng, monkeypatch):
+    """Whole-pipeline overlap path with multiple BAM chunks (small
+    GCI_BAM_CHUNK_BYTES) stays byte-identical to the events backend."""
+    import subprocess  # noqa: F401  (documentation parity with sibling test)
+
+    from gci_tpu.pipeline import run_gci
+    from tests.fixtures import make_bam, make_fasta, random_reads
+
+    refs = ["cA", "cB"]
+    lens = [30000, 20000]
+    seqs = []
+    for r, L in zip(refs, lens):
+        s = "".join(rng.choice(list("ACGT"), size=L))
+        if r == "cA":
+            s = s[:4000] + "N" * 120 + s[4120:]
+        seqs.append((r, s))
+    ref = str(tmp_path / "ref.fa")
+    make_fasta(ref, seqs)
+    bam = str(tmp_path / "r.bam")
+    # duplicate names across the file so cross-chunk retraction fires
+    make_bam(bam, refs, lens, random_reads(rng, refs, lens, 800, name_prefix="d"))
+
+    d_ev = str(tmp_path / "ev")
+    run_gci(hifi=[bam], reference=ref, directory=d_ev, prefix="S",
+            depth_backend="events")
+
+    monkeypatch.setenv("GCI_BAM_CHUNK_BYTES", str(8 * 1024))
+    d_ov = str(tmp_path / "ov")
+    run_gci(hifi=[bam], reference=ref, directory=d_ov, prefix="S",
+            depth_backend="streamed")
+
+    for f in ("S.depth.gz", "S.0.depth.bed", "S.gci", "S.gaps.bed"):
+        with open(f"{d_ev}/{f}", "rb") as a, open(f"{d_ov}/{f}", "rb") as b:
+            assert a.read() == b.read(), f
