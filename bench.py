@@ -424,7 +424,7 @@ def run_chm13_rehearsal():
     }
 
 
-def run_e2e(backend: str, ref: str, bam: str):
+def run_e2e(backend: str, ref: str, bam: str, mesh: str | None = None):
     from gci_tpu.pipeline import run_gci
     from gci_tpu.utils.metrics import get_metrics
 
@@ -433,7 +433,7 @@ def run_e2e(backend: str, ref: str, bam: str):
     t0 = time.perf_counter()
     run_gci(
         hifi=[bam], reference=ref, directory=outdir, prefix="B", force=True,
-        threads=os.cpu_count() or 1, depth_backend=backend,
+        threads=os.cpu_count() or 1, depth_backend=backend, mesh=mesh,
     )
     wall = time.perf_counter() - t0
     stages = {r.name: round(r.seconds, 3) for r in get_metrics().records}
@@ -668,6 +668,25 @@ def main():
     e2e["device_output_parity"] = not mismatched
     if mismatched:
         e2e["device_output_mismatches"] = mismatched
+
+    # the multi-chip code path gets a REAL-HARDWARE datapoint every round:
+    # a mesh-resident (1,1) sharded run on the chip, byte-compared to the
+    # events outputs (the CPU dryrun validates N-device sharding; this
+    # validates the same program on actual TPU)
+    try:
+        e2e["sharded_1x1"] = run_e2e("sharded", ref, bam, mesh="1,1")
+        sharded_mismatch = [
+            f
+            for f in ("B.depth.gz", "B.0.depth.bed", "B.gci")
+            if _read_or_none(os.path.join(E2E_DIR, "out_events", f))
+            != _read_or_none(os.path.join(E2E_DIR, "out_sharded", f))
+        ]
+        e2e["sharded_output_parity"] = not sharded_mismatch
+        if sharded_mismatch:
+            e2e["sharded_output_mismatches"] = sharded_mismatch
+    except Exception as exc:  # report, never sink the whole bench
+        e2e["sharded_1x1"] = {"error": repr(exc)[:300]}
+        e2e["sharded_output_parity"] = False
     # reference-style wall-clock for THIS workload (scaled), for an e2e ratio.
     # NOTE: this EXCLUDES the reference's pysam BGZF-inflate cost (our
     # bam_pack stage pays the real one), so the ratio is a lower bound.

@@ -210,6 +210,56 @@ def main():
             8 * TOTAL,
         )
 
+    # --- copy with the production stream mix (3 in / 4 out, same dtypes):
+    # the TRUE structural DMA ceiling of the masked kernel's shape ---
+    def make_copy7(n):
+        n_chunks_l = TOTAL // (rows * LANES)
+        spec = pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0))
+        def copy7_kernel(carry_s, d, g, v, o_depth, o_r, o_f, o_c):
+            o_depth[...] = d[...]
+            o_r[...] = g[...]
+            o_f[...] = v[...]
+            o_c[...] = g[...]
+
+        call = pl.pallas_call(
+            copy7_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(n_chunks_l,),
+                in_specs=[spec] * 3, out_specs=[spec] * 4,
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((n_chunks_l, rows, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((n_chunks_l, rows, LANES), jnp.int8),
+                jax.ShapeDtypeStruct((n_chunks_l, rows, LANES), jnp.int8),
+                jax.ShapeDtypeStruct((n_chunks_l, rows, LANES), jnp.int8),
+            ],
+            compiler_params=ps._grid_params(rows),
+        )
+
+        @jax.jit
+        def f(delta, gap, valid):
+            g2 = gap.reshape(n_chunks_l, rows, LANES)
+            v2 = valid.reshape(n_chunks_l, rows, LANES)
+
+            def body(_, d):
+                o, *_rest = call(carry, d, g2, v2)
+                return o
+
+            return jax.lax.fori_loop(
+                0, n, body, delta.reshape(n_chunks_l, rows, LANES)
+            ).reshape(-1)[-1]
+
+        return f
+
+    if args.variants in ("all", "copy7"):
+        import jax.numpy as jnp  # noqa: F811
+
+        report(
+            "copy7(3in/4out mix)",
+            timeit_chained(make_copy7, delta, gap, valid),
+            13 * TOTAL,
+        )
+
     # --- 8-bit-split DEFAULT-precision lane scan (4 cheap MXU passes) ---
     def lane8_body(carry_s, x, o):
         o[...] = lane_scan_8bit(x[0])[None]

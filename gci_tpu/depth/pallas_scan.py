@@ -72,35 +72,36 @@ def _lane_inclusive_scan_rolls(x):
 
 
 def _lane_inclusive_scan(x):
-    """Inclusive cumsum along axis=1 (lanes) as an MXU matmul.
+    """Inclusive cumsum along axis=1 (lanes) as MXU matmuls.
 
-    ``cumsum(x, axis=1) == x @ A`` with ``A[k, j] = 1 if k <= j`` — one
-    (R, 128) @ (128, 128) matmul on the systolic array instead of the
-    log2(128)=7 full-tile roll+select+add chains the VPU pays (the chains
-    were the dominant in-VMEM cost; see module docstring).
+    ``cumsum(x, axis=1) == x @ A`` with ``A[k, j] = 1 if k <= j``.  The
+    int32 operand is split into four 8-bit pieces, each scanned with a
+    DEFAULT-precision f32 matmul: pieces in [0, 255] are exactly
+    representable in bf16 (8 mantissa bits), the 0/1 triangular matrix is
+    exact, and per-row accumulations are < 128*255 < 2^15 — so each matmul
+    is a single exact MXU pass.  Recombining ``sum(piece_cs << shift)`` in
+    int32 wraps mod 2^32 exactly like a native int32 cumsum.
 
-    Exact int32 semantics: the int32 operand is split into 16-bit halves
-    (``lo`` in [0, 65535], ``hi`` arithmetic), each scanned with an exact
-    f32 matmul — per-half row cumsums are < 128·2^16 = 2^23 < 2^24, so f32
-    accumulation is exact (with HIGHEST precision the bf16 decomposition of
-    values < 2^16 is also exact) — then recombined as ``(hi << 16) + lo``
-    in int32, which wraps mod 2^32 exactly like a native int32 cumsum.
+    Four 1-pass matmuls replace the previous 16-bit-halves form's 12 MXU
+    passes (2 halves x 6-pass HIGHEST): measured on-chip (r4, 0.5G slots,
+    rows=2048) the lane scan drops from +2.0 ms over the copy floor to
+    +0.06 ms — compute becomes free, leaving the kernel DMA-bound.
     """
     i0 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
     i1 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
     tri = (i0 <= i1).astype(jnp.float32)
-    lo = jnp.bitwise_and(x, 0xFFFF).astype(jnp.float32)
-    hi = jnp.right_shift(x, 16).astype(jnp.float32)
     dn = (((1,), (0,)), ((), ()))
-    cs_lo = jax.lax.dot_general(
-        lo, tri, dn, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    cs_hi = jax.lax.dot_general(
-        hi, tri, dn, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    return jnp.left_shift(cs_hi.astype(jnp.int32), 16) + cs_lo.astype(jnp.int32)
+    out = jnp.zeros(x.shape, jnp.int32)
+    for shift in (0, 8, 16, 24):
+        piece = jnp.bitwise_and(
+            jax.lax.shift_right_logical(x, shift), 0xFF
+        ).astype(jnp.float32)
+        cs = jax.lax.dot_general(
+            piece, tri, dn, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+        out = out + jax.lax.shift_left(cs.astype(jnp.int32), shift)
+    return out
 
 
 def _row_carry_bcast(row_cs):

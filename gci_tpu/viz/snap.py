@@ -84,20 +84,46 @@ def snapshot_regions(
                 & (c["ref_end"] > s)
             )
             idx = np.flatnonzero(sel)
+            # bamsnap-style pileup layout: reads sorted by start, each
+            # packed greedily into the first row whose last read ends
+            # before it (real alignment rows, not a modulo wrap)
+            order = idx[np.argsort(c["pos"][idx], kind="stable")]
             cov = np.zeros(e - s + 1, dtype=np.int32)
             segs = []
             colors = []
-            for row, i in enumerate(idx.tolist()):
+            row_ends: list[int] = []
+            max_rows = 80
+            overflow = 0
+            for i in order.tolist():
                 a = max(int(c["pos"][i]), s)
                 b = min(int(c["ref_end"][i]), e)
                 cov[a - s : b - s] += 1
-                y = -1 - (row % 60)
+                row = next(
+                    (r for r, re_ in enumerate(row_ends) if re_ < a), None
+                )
+                if row is None:
+                    if len(row_ends) >= max_rows:
+                        overflow += 1
+                        continue
+                    row = len(row_ends)
+                    row_ends.append(b)
+                else:
+                    row_ends[row] = b
+                y = -1 - row
                 segs.append([(a, y), (b, y)])
                 colors.append("#3C5488" if c["flag"][i] & 16 else "#2ca25f")
             ax.fill_between(np.arange(s, e + 1), cov, step="mid", color="#bdbdbd")
             if segs:
                 ax.add_collection(LineCollection(segs, colors=colors, lw=1.2))
-                ax.set_ylim(-62, max(cov.max() + 2, 5))
+                ax.set_ylim(
+                    -min(len(row_ends), max_rows) - 2, max(cov.max() + 2, 5)
+                )
+            if overflow:
+                ax.text(
+                    0.99, 0.02, f"+{overflow} reads not drawn",
+                    transform=ax.transAxes, ha="right", fontsize=6,
+                    color="#666666",
+                )
             ax.set_title(f'"{path}"', fontsize=8, loc="left")
             ax.set_xlim(s, e)
         axes[-1][0].set_xlabel(f"{chrom} position (bp)")
