@@ -156,19 +156,22 @@ def run_device(cols, targets_length):
 # ---------------------------------------------------------------------------
 
 def measure_kernel_bandwidth(iters: int = 16):
-    """Achieved HBM GB/s of fused_depth_scan_masked: 13 bytes/slot per pass
-    (delta i32 + gap i8 + valid i8 in; depth i32 + rise/fall/change i8 out).
+    """Per-pass wall + achieved HBM GB/s of the packed production kernel
+    (fused_depth_scan_flags: delta i32 + flag byte in; depth i32 + flag
+    byte out = 10 bytes/slot; the r3 kernel moved 13).
 
     ``iters`` kernels are CHAINED inside one jit (each consumes the previous
     depth as its delta — a true serial dependency XLA cannot CSE), so the
     per-call host<->device round-trip latency (tens of ms through the axon
     tunnel — larger than the kernel itself) amortizes away; a 1-iteration
     call is also timed to report that dispatch overhead separately.
+    ``gbps_equiv_13B`` reports the same-work throughput at the r3 13-byte
+    accounting for cross-round comparability.
     """
     import jax
     import jax.numpy as jnp
 
-    from gci_tpu.depth.pallas_scan import DEF_ROWS, LANES, fused_depth_scan_masked
+    from gci_tpu.depth.pallas_scan import DEF_ROWS, LANES, fused_depth_scan_flags
 
     if jax.default_backend() != "tpu":
         return None
@@ -178,35 +181,35 @@ def measure_kernel_bandwidth(iters: int = 16):
     delta_h = rng.integers(-1, 2, size=total).astype(np.int32)
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def step(delta, gap, valid, n):
+    def step(delta, flags, n):
         def body(_, d):
-            depth, rise, fall, change = fused_depth_scan_masked(d, gap, valid, -1, 0)
+            depth, _out = fused_depth_scan_flags(d, flags, -1, 0)
             return depth  # int32, same shape: feeds the next pass
         out = jax.lax.fori_loop(0, n, body, delta)
         return out[-1]
 
     delta = jnp.asarray(delta_h)
-    gap = jnp.zeros(total, jnp.int8)
-    valid = jnp.ones(total, jnp.int8)
+    flags = jnp.full(total, 2, jnp.int8)  # valid everywhere, no gaps
 
     def timed(n):
-        _ = int(np.asarray(step(delta, gap, valid, n)))  # compile + warmup
+        _ = int(np.asarray(step(delta, flags, n)))  # compile + warmup
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            _ = int(np.asarray(step(delta, gap, valid, n)))
+            _ = int(np.asarray(step(delta, flags, n)))
             times.append(time.perf_counter() - t0)
         return float(np.median(times))
 
     t1 = timed(1)
     tn = timed(iters)
     per_pass = (tn - t1) / (iters - 1)
-    gbps = 13.0 * total / per_pass / 1e9
+    gbps = 10.0 * total / per_pass / 1e9
     return {
         "slots": total,
         "per_pass_s": round(per_pass, 5),
         "dispatch_overhead_s": round(max(t1 - per_pass, 0.0), 4),
         "gbps": round(gbps, 1),
+        "gbps_equiv_13B": round(13.0 * total / per_pass / 1e9, 1),
         "hbm_frac": round(gbps / HBM_SOL_GBPS, 3),
         # vs the measured copy-kernel ceiling of this grid structure
         "structure_sol_frac": round(gbps / STRUCTURE_SOL_GBPS, 3),

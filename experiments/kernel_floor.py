@@ -252,12 +252,77 @@ def main():
         return f
 
     if args.variants in ("all", "copy7"):
-        import jax.numpy as jnp  # noqa: F811
-
         report(
             "copy7(3in/4out mix)",
             timeit_chained(make_copy7, delta, gap, valid),
             13 * TOTAL,
+        )
+
+    # --- packed-stream production kernel (2 in / 2 out, 10 bytes/slot) ---
+    def make_packed(n):
+        @jax.jit
+        def f(delta, flags):
+            def body(_, d):
+                depth, _ = ps.fused_depth_scan_flags(d, flags, -1, 0, rows=rows)
+                return depth
+
+            return jax.lax.fori_loop(0, n, body, delta)[-1]
+
+        return f
+
+    if args.variants in ("all", "packed"):
+        flags_h = (gap + valid * 2).astype(np.int8)
+        flags_dev = jnp.asarray(flags_h)
+        secs = timeit_chained(make_packed, delta, flags_dev)
+        report("packed-flags(2in/2out)", secs, 10 * TOTAL)
+        print(
+            f"  equivalent throughput at the old 13-byte accounting: "
+            f"{13 * TOTAL / secs / 1e9:.1f} GB/s",
+            flush=True,
+        )
+
+    # --- copy with the PACKED stream mix (i32+i8 in, i32+i8 out):
+    # structural ceiling of the packed kernel ---
+    def make_copy4(n):
+        n_chunks_l = TOTAL // (rows * LANES)
+        spec = pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0))
+
+        def copy4_kernel(carry_s, d, g, o_depth, o_flags):
+            o_depth[...] = d[...]
+            o_flags[...] = g[...]
+
+        call = pl.pallas_call(
+            copy4_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(n_chunks_l,),
+                in_specs=[spec] * 2, out_specs=[spec] * 2,
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((n_chunks_l, rows, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((n_chunks_l, rows, LANES), jnp.int8),
+            ],
+            compiler_params=ps._grid_params(rows),
+        )
+
+        @jax.jit
+        def f(delta, gapf):
+            g2 = gapf.reshape(n_chunks_l, rows, LANES)
+
+            def body(_, d):
+                o, _f = call(carry, d, g2)
+                return o
+
+            return jax.lax.fori_loop(
+                0, n, body, delta.reshape(n_chunks_l, rows, LANES)
+            ).reshape(-1)[-1]
+
+        return f
+
+    if args.variants in ("all", "copy4"):
+        report(
+            "copy4(2in/2out mix)",
+            timeit_chained(make_copy4, delta, gap),
+            10 * TOTAL,
         )
 
     # --- 8-bit-split DEFAULT-precision lane scan (4 cheap MXU passes) ---

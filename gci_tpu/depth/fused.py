@@ -37,7 +37,8 @@ def _elementwise_fns():
     import jax
     import jax.numpy as jnp
 
-    mask = jax.jit(lambda d, marks: jnp.where(marks != 0, 0, d))
+    # marks are flag bytes: bit0 = in-gap, bit1 = scan-window-valid
+    mask = jax.jit(lambda d, marks: jnp.where((marks & 1) != 0, 0, d))
     vmax = jax.jit(jnp.maximum)
 
     def _change(x):
@@ -45,7 +46,7 @@ def _elementwise_fns():
         return (x != prev).astype(jnp.int8)
 
     def _edges(depth, valid, lo, hi):
-        m = (depth > lo[0]) & (depth <= hi[0]) & (valid != 0)
+        m = (depth > lo[0]) & (depth <= hi[0]) & ((valid & 2) != 0)
         prev = jnp.concatenate([jnp.zeros(1, bool), m[:-1]])
         return (m & ~prev).astype(jnp.int8), (~m & prev).astype(jnp.int8)
 
@@ -126,6 +127,78 @@ def _compact_pack_fn(sizes: tuple, gather_stream: int):
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=8)
+def _flag_counts_fn(masks: tuple):
+    """One program counting set bits per mask of a flag array."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(flags):
+        return jnp.stack(
+            [jnp.sum((flags & m) != 0, dtype=jnp.int32) for m in masks]
+        )
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _flag_compact_pack_fn(sizes: tuple, masks: tuple, gather_stream: int):
+    """Flag-array analogue of ``_compact_pack_fn``: each mask's bit-stream
+    compacts to its static padded size in the same program."""
+    import jax
+    import jax.numpy as jnp
+
+    from gci_tpu.depth.device import _local_prefix_sum
+
+    def f(values, offsets, flags):
+        parts = []
+        gathered = None
+        for k, (m, size) in enumerate(zip(masks, sizes)):
+            if size == 0:
+                idx = jnp.full((0,), -1, jnp.int32)
+            else:
+                pos = _local_prefix_sum(((flags & m) != 0).astype(jnp.int32))
+                kk = jnp.arange(1, size + 1, dtype=pos.dtype)
+                idx = jnp.where(
+                    kk <= pos[-1], jnp.searchsorted(pos, kk), -1
+                ).astype(jnp.int32)
+            parts.append(idx)
+            if k == gather_stream:
+                gathered = jnp.take(values, jnp.clip(idx, 0, None))
+        parts.append(gathered)
+        parts.append(jnp.take(values, offsets))
+        return jnp.concatenate(parts)
+
+    return jax.jit(f)
+
+
+def _batched_flags_readback(array, layout: GenomeLayout, flags, masks: tuple,
+                            gather_stream: int):
+    """Like ``_batched_edge_readback`` but over bit-masks of one packed
+    flag array (the kernel's rise/fall/change output)."""
+    import jax.numpy as jnp
+
+    counts = [int(c) for c in np.asarray(_flag_counts_fn(masks)(flags))]
+    sizes = tuple(0 if c == 0 else 1 << (c - 1).bit_length() for c in counts)
+    offsets = jnp.asarray(np.asarray(layout.offsets, np.int32))
+    packed = np.asarray(
+        _flag_compact_pack_fn(sizes, masks, gather_stream)(
+            array, offsets, flags
+        )
+    )
+    out_idx = []
+    cursor = 0
+    for c, s in zip(counts, sizes):
+        out_idx.append(packed[cursor : cursor + c].astype(np.int64))
+        cursor += s
+    g_size = sizes[gather_stream]
+    g_count = counts[gather_stream]
+    gathered = packed[cursor : cursor + g_count].astype(np.int64)
+    cursor += g_size
+    offset_vals = packed[cursor:].astype(np.int64)
+    return out_idx, gathered, offset_vals
+
+
 def _batched_edge_readback(array, layout: GenomeLayout, bitmaps,
                            gather_stream: int):
     """Compact every bitmap and read values at the gather stream's indices
@@ -180,10 +253,9 @@ def compact_indices(bitmap) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=16)
-def _marks_fn(pad_total: int):
-    """Interval-indicator builder: O(intervals) scatter + one device scan.
-
-    Serves both the N-gap mask and the scan-window validity mask — the host
+def _flags_fn(pad_total: int):
+    """Flag-byte builder: gap intervals (bit0) + valid intervals (bit1) in
+    ONE program — O(intervals) scatters + two device prefix sums; the host
     never materializes (or transfers) a per-base indicator array.
     """
     import jax
@@ -191,27 +263,23 @@ def _marks_fn(pad_total: int):
 
     from gci_tpu.depth.device import _local_prefix_sum
 
-    def f(gs, ge):
-        delta = jnp.zeros(pad_total, jnp.int32)
-        delta = delta.at[gs].add(1, mode="drop")
-        delta = delta.at[ge].add(-1, mode="drop")
-        return (_local_prefix_sum(delta) > 0).astype(jnp.int8)
+    def f(gap_s, gap_e, val_s, val_e):
+        gd = jnp.zeros(pad_total, jnp.int32)
+        gd = gd.at[gap_s].add(1, mode="drop")
+        gd = gd.at[gap_e].add(-1, mode="drop")
+        vd = jnp.zeros(pad_total, jnp.int32)
+        vd = vd.at[val_s].add(1, mode="drop")
+        vd = vd.at[val_e].add(-1, mode="drop")
+        return (
+            (_local_prefix_sum(gd) > 0).astype(jnp.int8)
+            + (_local_prefix_sum(vd) > 0).astype(jnp.int8) * 2
+        )
 
     return jax.jit(f)
 
 
-def _marks_from_intervals(starts, stops, pad_total: int):
-    import jax.numpy as jnp
-
-    return _marks_fn(pad_total)(
-        jnp.asarray(np.asarray(starts, np.int32)),
-        jnp.asarray(np.asarray(stops, np.int32)),
-    )
-
-
-def valid_marks_for(layout: GenomeLayout, flank_len: int, pad_total: int):
-    """Device int8 mask of positions inside each target's scan window
-    ([flank, L-flank) per target, GCI.py:374 — cf. build_scan_valid)."""
+def _valid_intervals(layout: GenomeLayout, flank_len: int):
+    """[flank, L-flank) scan-window intervals per target (GCI.py:374)."""
     starts: list[int] = []
     stops: list[int] = []
     for k in range(len(layout.names)):
@@ -221,33 +289,54 @@ def valid_marks_for(layout: GenomeLayout, flank_len: int, pad_total: int):
         o = int(layout.offsets[k])
         starts.append(o + flank_len)
         stops.append(o + L - flank_len)
-    if not starts:
-        import jax.numpy as jnp
+    return starts, stops
 
-        return jnp.zeros(pad_total, jnp.int8)
-    return _marks_from_intervals(starts, stops, pad_total)
+
+def flags_for(layout: GenomeLayout, gaps, flank_len: int, pad_total: int):
+    """Device int8 flag bytes: bit0 = in-N-gap, bit1 = scan-window valid."""
+    import jax.numpy as jnp
+
+    from gci_tpu.depth.base import gap_interval_events
+
+    gap_s, gap_e = gap_interval_events(layout, gaps)
+    val_s, val_e = _valid_intervals(layout, flank_len)
+    return _flags_fn(pad_total)(
+        jnp.asarray(np.asarray(gap_s, np.int32)),
+        jnp.asarray(np.asarray(gap_e, np.int32)),
+        jnp.asarray(np.asarray(val_s, np.int32)),
+        jnp.asarray(np.asarray(val_e, np.int32)),
+    )
+
+
+def valid_marks_for(layout: GenomeLayout, flank_len: int, pad_total: int):
+    """Device int8 flag bytes with only the valid bit (bit1) populated."""
+    return flags_for(layout, None, flank_len, pad_total)
 
 
 @functools.lru_cache(maxsize=16)
 def _scan_from_delta_fn(pad_total: int):
-    """Fused scan on an existing delta array (static genome size)."""
+    """Packed-stream fused scan on an existing delta (static genome size).
+
+    Takes the combined flag bytes (bit0 gap, bit1 valid); returns
+    (raw_depth, out_flags with bit0 rise, bit1 fall, bit2 change).
+    """
     import jax
 
     from gci_tpu.depth.pallas_scan import (
         DEF_ROWS,
         LANES,
-        fused_depth_scan_masked,
-        fused_depth_scan_masked_xla,
+        fused_depth_scan_flags,
+        fused_depth_scan_flags_xla,
     )
 
     use_kernel = (
         jax.default_backend() == "tpu" and pad_total % (DEF_ROWS * LANES) == 0
     )
 
-    def step(delta, gap, valid, lo, hi):
+    def step(delta, flags, lo, hi):
         if use_kernel:
-            return fused_depth_scan_masked(delta, gap, valid, lo, hi)
-        return fused_depth_scan_masked_xla(delta, gap, valid, lo, hi)
+            return fused_depth_scan_flags(delta, flags, lo, hi)
+        return fused_depth_scan_flags_xla(delta, flags, lo, hi)
 
     return jax.jit(step)
 
@@ -260,11 +349,11 @@ def _fused_fn(pad_total: int):
 
     scan = _scan_from_delta_fn(pad_total)
 
-    def step(gs, ge, live, gap, valid, lo, hi):
+    def step(gs, ge, live, flags, lo, hi):
         delta = jnp.zeros(pad_total, jnp.int32)
         delta = delta.at[gs].add(live, mode="drop")
         delta = delta.at[ge].add(-live, mode="drop")
-        return scan(delta, gap, valid, lo, hi)
+        return scan(delta, flags, lo, hi)
 
     return jax.jit(step)
 
@@ -339,17 +428,21 @@ class DeviceDepth(ResidentDepth):
 
     @staticmethod
     def gap_marks_for(layout: GenomeLayout, gaps, pad_total: int):
-        """Device int8 gap indicator from N-gap intervals (None if no gaps).
+        """Device int8 flag bytes with only the gap bit (bit0) populated
+        (None if no gaps) — built on device from O(gaps) scatter events."""
+        import jax.numpy as jnp
 
-        Built on device from O(gaps) scatter events + one prefix sum — the
-        host never materializes a per-base mask.
-        """
         from gci_tpu.depth.base import gap_interval_events
 
         starts, stops = gap_interval_events(layout, gaps)
         if starts.shape[0] == 0:
             return None
-        return _marks_from_intervals(starts, stops, pad_total)
+        empty = jnp.zeros(0, jnp.int32)
+        return _flags_fn(pad_total)(
+            jnp.asarray(starts.astype(np.int32)),
+            jnp.asarray(stops.astype(np.int32)),
+            empty, empty,
+        )
 
     @classmethod
     def from_reads(
@@ -372,29 +465,21 @@ class DeviceDepth(ResidentDepth):
         """
         import jax.numpy as jnp
 
-        from gci_tpu.depth.device import (
-            edge_indices_to_intervals,
-            pack_read_deltas,
-        )
+        from gci_tpu.depth.base import gap_interval_events
+        from gci_tpu.depth.device import pack_read_deltas
 
         pad_total = cls.pad_total_for(layout.total_slots)
         gs, ge, live = pack_read_deltas(layout, target_id, start, end, flank_len)
-        gap_marks = cls.gap_marks_for(layout, gaps, pad_total)
-        valid = valid_marks_for(layout, flank_len, pad_total)
+        flags = flags_for(layout, gaps, flank_len, pad_total)
+        has_gaps = gap_interval_events(layout, gaps)[0].shape[0] > 0
         lo, hi = issue_range
-        gap_in = (
-            gap_marks
-            if gap_marks is not None
-            else jnp.zeros(pad_total, jnp.int8)
-        )
-        raw, rise, fall, change = _fused_fn(pad_total)(
+        raw, out_flags = _fused_fn(pad_total)(
             jnp.asarray(gs), jnp.asarray(ge), jnp.asarray(live),
-            gap_in, valid,
-            jnp.int32(lo), jnp.int32(hi),
+            flags, jnp.int32(lo), jnp.int32(hi),
         )
         return cls._from_kernel_outputs(
-            layout, pad_total, raw, rise, fall, change, gap_marks, gaps,
-            flank_len, lo, hi,
+            layout, pad_total, raw, out_flags,
+            flags if has_gaps else None, gaps, flank_len, lo, hi,
         )
 
     @classmethod
@@ -411,33 +496,30 @@ class DeviceDepth(ResidentDepth):
         incrementally while the BAM inflated)."""
         import jax.numpy as jnp
 
+        from gci_tpu.depth.base import gap_interval_events
+
         pad_total = int(delta.shape[0])
         assert pad_total == cls.pad_total_for(layout.total_slots)
-        gap_marks = cls.gap_marks_for(layout, gaps, pad_total)
-        valid = valid_marks_for(layout, flank_len, pad_total)
+        flags = flags_for(layout, gaps, flank_len, pad_total)
+        has_gaps = gap_interval_events(layout, gaps)[0].shape[0] > 0
         lo, hi = issue_range
-        gap_in = (
-            gap_marks
-            if gap_marks is not None
-            else jnp.zeros(pad_total, jnp.int8)
-        )
-        raw, rise, fall, change = _scan_from_delta_fn(pad_total)(
-            delta, gap_in, valid, jnp.int32(lo), jnp.int32(hi)
+        raw, out_flags = _scan_from_delta_fn(pad_total)(
+            delta, flags, jnp.int32(lo), jnp.int32(hi)
         )
         return cls._from_kernel_outputs(
-            layout, pad_total, raw, rise, fall, change, gap_marks, gaps,
-            flank_len, lo, hi,
+            layout, pad_total, raw, out_flags,
+            flags if has_gaps else None, gaps, flank_len, lo, hi,
         )
 
     @classmethod
-    def _from_kernel_outputs(cls, layout, pad_total, raw, rise, fall, change,
+    def _from_kernel_outputs(cls, layout, pad_total, raw, out_flags,
                              gap_marks, gaps, flank_len, lo, hi):
         from gci_tpu.depth.device import edge_indices_to_intervals
 
-        # one batched readback for all three edge streams + run values at
-        # the change indices and target offsets (2 dispatches total)
+        # one batched readback for all three edge bit-streams + run values
+        # at the change indices and target offsets (2 dispatches total)
         (rise_idx, fall_idx, change_idx), change_vals, offset_vals = (
-            _batched_edge_readback(raw, layout, (rise, fall, change), 2)
+            _batched_flags_readback(raw, layout, out_flags, (1, 2, 4), 2)
         )
         intervals = edge_indices_to_intervals(
             layout, rise_idx, fall_idx, flank_len

@@ -407,6 +407,133 @@ def fused_depth_scan_masked(
     )
 
 
+def _scan_flags_kernel(is_first, carry_val, seed_flags_val, lo, hi,
+                       delta_ref, flags_ref, depth_ref, out_ref):
+    """Packed-stream production kernel: flags-in bit0=gap bit1=valid;
+    flags-out bit0=rise bit1=fall bit2=change."""
+    x = delta_ref[:]
+    row_cs = _lane_inclusive_scan(x)
+    raw = row_cs + _row_carry_bcast(row_cs) + carry_val
+    depth_ref[:] = raw
+
+    flags = flags_ref[:].astype(jnp.int32)
+    gap = (flags & 1) != 0
+    valid = (flags & 2) != 0
+    masked = jnp.where(gap, 0, raw)
+    m = ((masked > lo) & (masked <= hi) & valid).astype(jnp.int32)
+
+    seed_gap = seed_flags_val & 1
+    seed_valid = (seed_flags_val >> 1) & 1
+    prev_masked0 = jnp.where(seed_gap != 0, 0, carry_val)
+    prev0 = (
+        (prev_masked0 > lo) & (prev_masked0 <= hi) & (seed_valid != 0)
+    ).astype(jnp.int32)
+    prev = _linear_prev(m, prev0)
+    rise = (m == 1) & (prev == 0)
+    fall = (m == 0) & (prev == 1)
+
+    prev_raw = _linear_prev(raw, carry_val)
+    change = raw != prev_raw
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, raw.shape, 0)
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, raw.shape, 1)
+    force0 = is_first & (row_idx == 0) & (lane_idx == 0)
+    out_ref[:] = (
+        rise.astype(jnp.int32)
+        + fall.astype(jnp.int32) * 2
+        + (change | force0).astype(jnp.int32) * 4
+    ).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+def fused_depth_scan_flags(
+    delta: jax.Array,   # (n_chunks*rows*128,) int32 scatter deltas
+    flags: jax.Array,   # same shape, int8: bit0 = in-gap, bit1 = scan-valid
+    leftmost,
+    rightmost,
+    rows: int = DEF_ROWS,
+    interpret: bool = False,
+):
+    """Packed-stream production scan: (raw_depth, out_flags).
+
+    Same math as ``fused_depth_scan_masked`` but with the five int8 streams
+    packed into two (gap+valid in, rise+fall+change out): 13 -> 10 bytes
+    of HBM traffic per slot.  The r4 on-chip ablation showed the masked
+    kernel sits at 87% of its own 7-stream copy ceiling (18.2 ms/0.5G) —
+    the stream MIX, not compute, caps throughput, so fewer/wider streams
+    are the remaining lever.  ``out_flags``: bit0=rise, bit1=fall,
+    bit2=change (same definitions as the unpacked kernel).
+    """
+    total = delta.shape[0]
+    chunk = rows * LANES
+    assert total % chunk == 0, "pad the axis to a chunk multiple"
+    n_chunks = total // chunk
+
+    d2 = delta.reshape(n_chunks, rows, LANES)
+    sums = jnp.sum(d2, axis=(1, 2), dtype=jnp.int32)
+    carry = jnp.cumsum(sums) - sums  # exclusive, (n_chunks,)
+
+    f2 = flags.reshape(n_chunks, rows, LANES)
+    seed_flags = jnp.concatenate(
+        [jnp.zeros(1, flags.dtype), flags[chunk - 1 :: chunk][:-1]]
+    ).astype(jnp.int32)
+
+    lo = jnp.full((n_chunks,), leftmost, jnp.int32)
+    hi = jnp.full((n_chunks,), rightmost, jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # carry, seed_flags, lo, hi
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
+        ],
+    )
+
+    def kernel(carry_s, seedf_s, lo_s, hi_s, delta_b, flags_b, depth_b, out_b):
+        i = pl.program_id(0)
+        _scan_flags_kernel(
+            i == 0, carry_s[i], seedf_s[i], lo_s[i], hi_s[i],
+            delta_b.at[0], flags_b.at[0], depth_b.at[0], out_b.at[0],
+        )
+
+    depth, out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int8),
+        ],
+        compiler_params=None if interpret else _grid_params(rows),
+        interpret=interpret,
+    )(carry, seed_flags, lo, hi, d2, f2)
+    return depth.reshape(total), out.reshape(total)
+
+
+def fused_depth_scan_flags_xla(delta, flags, leftmost, rightmost):
+    """XLA implementation of ``fused_depth_scan_flags`` (non-TPU backends,
+    unaligned shapes, and the parity oracle for the packed kernel)."""
+    raw = jnp.cumsum(delta).astype(jnp.int32)
+    gap = (flags & 1) != 0
+    valid = (flags & 2) != 0
+    masked = jnp.where(gap, 0, raw)
+    m = (masked > leftmost) & (masked <= rightmost) & valid
+    prev = jnp.concatenate([jnp.zeros(1, bool), m[:-1]])
+    rise = m & ~prev
+    fall = ~m & prev
+    prev_raw = jnp.concatenate([raw[:1] - 1, raw[:-1]])  # forces change at 0
+    change = raw != prev_raw
+    out = (
+        rise.astype(jnp.int8)
+        + fall.astype(jnp.int8) * 2
+        + change.astype(jnp.int8) * 4
+    )
+    return raw, out
+
+
 def fused_depth_scan_masked_xla(delta, gap, valid, leftmost, rightmost):
     """XLA implementation of ``fused_depth_scan_masked`` (non-TPU backends,
     unaligned shapes, and the parity oracle for the kernel)."""

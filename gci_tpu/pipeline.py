@@ -282,13 +282,23 @@ def run_filter(
                 if acc is not None:
                     surv = dedup_last_wins(chunk.name_keys, mask)
                     if surv.size:
-                        acc.add_chunk(
-                            keys_view(chunk.name_keys[surv]),
-                            gtid[surv].astype(np.int32),
-                            chunk.columns["pos"][surv].astype(np.int64),
-                            chunk.columns["ref_end"][surv].astype(np.int64),
-                        )
-                    continue
+                        try:
+                            acc.add_chunk(
+                                keys_view(chunk.name_keys[surv]),
+                                gtid[surv].astype(np.int32),
+                                chunk.columns["pos"][surv].astype(np.int64),
+                                chunk.columns["ref_end"][surv].astype(np.int64),
+                            )
+                        except Exception as exc:  # e.g. HBM exhausted
+                            print(
+                                "pack<->scatter overlap disabled "
+                                f"({type(exc).__name__}); falling back",
+                                file=sys.stderr,
+                            )
+                            acc = None
+                # candidate rows are collected EVEN on the overlap path
+                # (O(reads) host memory): they back the curation bookkeeping
+                # and the fallback if the resident delta cannot fit
                 idx = np.flatnonzero(mask)
                 if idx.size:
                     cand_parts.append((
@@ -359,19 +369,32 @@ def run_filter(
         # "sharded"/"streamed" force the accelerator paths; "numpy" is the
         # host oracle.
         if acc is not None:
-            # overlap path: the delta already accumulated during pack
+            # overlap path: the delta already accumulated during pack.
+            # Any device failure (e.g. HBM exhausted on the final scan)
+            # falls back to the classic path below — the candidate rows
+            # were collected regardless.
             from gci_tpu.depth.fused import DeviceDepth
             from gci_tpu.depth.streamed import events_from_delta2d_streamed
 
-            if acc.mode == "device":
-                depths = DeviceDepth.from_delta(
-                    layout, acc.delta_flat(), flank_len, gaps=gaps,
-                    issue_range=(-1, threshold),
+            try:
+                if acc.mode == "device":
+                    depths = DeviceDepth.from_delta(
+                        layout, acc.delta_flat(), flank_len, gaps=gaps,
+                        issue_range=(-1, threshold),
+                    )
+                else:
+                    depths = events_from_delta2d_streamed(
+                        layout, acc.delta2d, chunk_slots=acc.chunk_slots
+                    )
+            except Exception as exc:
+                print(
+                    f"overlap depth scan failed ({type(exc).__name__}); "
+                    "recomputing via the standard path",
+                    file=sys.stderr,
                 )
-            else:
-                depths = events_from_delta2d_streamed(
-                    layout, acc.delta2d, chunk_slots=acc.chunk_slots
-                )
+                acc = None
+        if acc is not None:
+            pass
         elif depth_backend == "events":
             from gci_tpu.depth.eventspace import events_dict_from_reads
 

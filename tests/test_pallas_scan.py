@@ -84,3 +84,62 @@ def test_fused_scan_large_magnitude_deltas_compiled_tpu(tmp_path):
     )
     assert r.returncode == 0, r.stderr.decode(errors="replace")[-3000:]
     assert b"TPU_COMPILED_OK" in r.stdout
+
+
+def test_fused_scan_flags_matches_xla(rng):
+    """Packed-stream kernel (gap+valid in one byte; rise/fall/change bits
+    in one byte) vs the XLA oracle, randomized."""
+    from gci_tpu.depth.pallas_scan import (
+        fused_depth_scan_flags,
+        fused_depth_scan_flags_xla,
+    )
+
+    rows = 8
+    for trial in range(6):
+        n_chunks = int(rng.integers(1, 4))
+        total = n_chunks * rows * LANES
+        delta = np.zeros(total, np.int32)
+        idx = rng.integers(0, total, 500)
+        np.add.at(delta, idx, 1)
+        np.add.at(delta, np.minimum(idx + rng.integers(1, 300, 500), total - 1), -1)
+        flags = (
+            (rng.random(total) < 0.1).astype(np.int8)  # gaps
+            + (rng.random(total) < 0.9).astype(np.int8) * 2  # valid
+        )
+        lo, hi = -1, int(rng.integers(0, 3))
+        got = fused_depth_scan_flags(
+            delta, flags, lo, hi, rows=rows, interpret=True
+        )
+        want = fused_depth_scan_flags_xla(delta, flags, lo, hi)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+        np.testing.assert_array_equal(
+            np.asarray(got[1]), np.asarray(want[1]), err_msg=f"trial {trial}"
+        )
+
+
+def test_fused_scan_flags_equivalent_to_masked(rng):
+    """The packed kernel's bits decode to exactly the unpacked kernel's
+    three streams (same math, fewer streams)."""
+    from gci_tpu.depth.pallas_scan import (
+        fused_depth_scan_flags,
+        fused_depth_scan_masked,
+    )
+
+    rows = 8
+    total = 3 * rows * LANES
+    delta = np.zeros(total, np.int32)
+    idx = rng.integers(0, total, 800)
+    np.add.at(delta, idx, 1)
+    np.add.at(delta, np.minimum(idx + 120, total - 1), -1)
+    gap = (rng.random(total) < 0.08).astype(np.int8)
+    valid = (rng.random(total) < 0.95).astype(np.int8)
+    flags = gap + valid * 2
+    d1, r1, f1, c1 = fused_depth_scan_masked(
+        delta, gap, valid, -1, 0, rows=rows, interpret=True
+    )
+    d2, out = fused_depth_scan_flags(delta, flags, -1, 0, rows=rows, interpret=True)
+    out = np.asarray(out)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(r1), out & 1)
+    np.testing.assert_array_equal(np.asarray(f1), (out >> 1) & 1)
+    np.testing.assert_array_equal(np.asarray(c1), (out >> 2) & 1)
