@@ -57,10 +57,11 @@ E2E_READS = int(os.environ.get("GCI_BENCH_E2E_READS", 250_000))
 E2E_DIR = os.environ.get("GCI_BENCH_DIR", "/tmp/gci_tpu_bench")
 
 HBM_SOL_GBPS = 819.0  # v5e single-chip HBM bandwidth speed-of-light
-# measured r3: a pure copy kernel with the same (2048,128)-block parallel
-# grid reaches ~298 GB/s — the realistic DMA ceiling for this structure
-# (and scan variants are compute-bound well below it; see CLAUDE.md)
-STRUCTURE_SOL_GBPS = 298.0
+# measured r4: a copy kernel with the packed kernel's exact stream mix
+# (i32+i8 in, i32+i8 out) runs 15.6 ms per 0.5G-slot pass at rows=2048 —
+# 343 GB/s of the 10-byte traffic; rows-invariant.  This is the realistic
+# DMA ceiling for the production structure (experiments/KERNEL_FLOOR_NOTES.md)
+STRUCTURE_SOL_GBPS = 343.0
 
 
 def synth_columns(rng, n_reads, target_len, n_targets):
