@@ -356,3 +356,69 @@ def test_three_process_sharded_cli_matches_single_process(tmp_path):
         packed.append(items[0])
     assert sum(packed) == 900, packed
     assert all(n > 0 for n in packed), packed
+
+
+def test_two_process_distributed_depth_writer_byte_identical(tmp_path):
+    """write_depth_gz on a 2-process run (every host compresses a disjoint
+    BGZF block range, primary concatenates) produces the EXACT single-
+    writer file — raw compressed bytes, not just content (VERDICT r3
+    'Next #1')."""
+    import json
+
+    rng = np.random.default_rng(0xD15C)
+    # mixed shapes: long runs (cache + range-boundary phases), dense runs,
+    # an empty target, and a multi-digit-value target
+    script = tmp_path / "write.py"
+    datagen = (
+        "import numpy as np\n"
+        "rng = np.random.default_rng(0xD15C)\n"
+        "depths = {\n"
+        "    'long': np.repeat(rng.integers(0, 4, 40), "
+        "rng.integers(1, 200_000, 40)).astype(np.int64),\n"
+        "    'dense': rng.integers(0, 9, 300_000).astype(np.int64),\n"
+        "    'void': np.zeros(0, np.int64),\n"
+        "    'big': np.repeat(rng.integers(10_000, 99_999, 50), "
+        "rng.integers(1, 5_000, 50)).astype(np.int64),\n"
+        "}\n"
+    )
+    single = str(tmp_path / "single.depth.gz")
+    subprocess.run(
+        [sys.executable, "-c",
+         "import jax\n"
+         "jax.config.update('jax_platforms', 'cpu')\n"
+         + datagen +
+         "from gci_tpu.io.depth_file import write_depth_gz\n"
+         f"write_depth_gz({single!r}, depths)\n"],
+        check=True, cwd=REPO_ROOT, env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+
+    port = _free_port()
+    multi = str(tmp_path / "multi.depth.gz")
+    script.write_text(
+        "import sys\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.distributed.initialize(\n"
+        f"    coordinator_address='127.0.0.1:{port}',\n"
+        "    num_processes=2, process_id=int(sys.argv[1]))\n"
+        + datagen +
+        "from gci_tpu.io.depth_file import write_depth_gz\n"
+        f"write_depth_gz({multi!r}, depths)\n"
+    )
+    env = dict(
+        os.environ, JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid)], env=env, cwd=REPO_ROOT,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out.decode(errors="replace")[-3000:]
+
+    with open(single, "rb") as a, open(multi, "rb") as b:
+        assert a.read() == b.read()
