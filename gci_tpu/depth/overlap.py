@@ -145,3 +145,12 @@ class DeltaAccumulator:
     def delta_flat(self):
         """The accumulated delta as a flat (n_chunks*chunk_slots,) view."""
         return self.delta2d.reshape(-1)
+
+    def release(self) -> None:
+        """Free the resident delta immediately (fallback path: the classic
+        depth computation needs the HBM this buffer holds)."""
+        try:
+            self.delta2d.delete()
+        except Exception:
+            pass
+        self.delta2d = None

@@ -314,11 +314,32 @@ class ShardedDepth(ResidentDepth):
                 _replicated_global(self.mesh, np.asarray([leftmost], np.int32)),
                 _replicated_global(self.mesh, np.asarray([rightmost], np.int32)),
             )
-        # NOTE: device-side index compaction (gci_tpu.depth.fused.
-        # compact_indices) is deliberately NOT used here — XLA's SPMD
-        # partitioner handles flatnonzero on mesh-sharded inputs
-        # pathologically (minutes for ~10M slots); the int8 bitmap pull is
-        # the fast path for sharded arrays
+        # NOTE: device-side index compaction directly on the MESH-SHARDED
+        # bitmaps is deliberately avoided — XLA's SPMD partitioner handles
+        # flatnonzero on sharded inputs pathologically (minutes for ~10M
+        # slots).  Single-process meshes instead reshard the edge bitmaps
+        # to one device (ICI gather) and compact there with the fused
+        # batched machinery: the host transfer is O(edges), not the
+        # O(genome) bitmap (measured r4: the bitmap pull cost 85 s through
+        # the narrow tunnel link for a 0.5G-slot genome).  Multi-process
+        # meshes keep the allgathered-bitmap path (shards span hosts).
+        import jax
+
+        if jax.process_count() == 1:
+            from gci_tpu.depth.device import edge_indices_to_intervals
+            from gci_tpu.depth.fused import _batched_edge_readback
+
+            dev = self.mesh.devices.flat[0]
+            rise0 = jax.device_put(rise, dev)
+            fall0 = jax.device_put(fall, dev)
+            # values are irrelevant for interval extraction: reuse a bitmap
+            # as the gather source rather than moving the depth array
+            (rise_idx, fall_idx), _, _ = _batched_edge_readback(
+                rise0, self.layout, (rise0, fall0), 0
+            )
+            return edge_indices_to_intervals(
+                self.layout, rise_idx, fall_idx, flank_len, start_pos
+            )
         return edges_to_intervals(
             self.layout, _host_all(rise), _host_all(fall), _host_all(m),
             flank_len, start_pos,
@@ -342,6 +363,32 @@ class ShardedDepth(ResidentDepth):
         fn = _change_fn(self.mesh, self.pad_total)
         with self.mesh:
             change = fn(self.array)
+        if jax.process_count() == 1 and self.pad_total <= _INT32_MAX:
+            # single-process: reshard to one device and compact + gather
+            # there — O(runs) host transfer instead of the O(genome) int8
+            # bitmap (see collapse_dict NOTE)
+            from gci_tpu.depth.fused import _batched_edge_readback
+
+            dev = self.mesh.devices.flat[0]
+            arr0 = jax.device_put(self.array, dev)
+            change0 = jax.device_put(change, dev)
+            (idx,), vals, offset_vals = _batched_edge_readback(
+                arr0, self.layout, (change0,), 0
+            )
+            pos = np.concatenate(
+                [idx, np.asarray(self.layout.offsets, np.int64)]
+            )
+            allv = np.concatenate([vals, offset_vals])
+            order = np.argsort(pos, kind="stable")
+            pos, allv = pos[order], allv[order]
+
+            def gather0(all_idx: np.ndarray) -> np.ndarray:
+                return allv[np.searchsorted(pos, all_idx)]
+
+            self._events = events_from_change_indices(
+                self.layout, idx, gather0
+            )
+            return self._events
         # host flatnonzero of the int8 bitmap (see collapse_dict NOTE)
         idx = np.flatnonzero(_host_all(change)).astype(np.int64)
 

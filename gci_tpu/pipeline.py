@@ -78,7 +78,9 @@ def _make_overlap_accumulator(
     cs = resident_chunk_slots(total)
     n_chunks = -(-total // cs)
     # the resident delta must fit HBM alongside the chunk-scan workspaces
-    budget = int(os.environ.get("GCI_OVERLAP_MAX_BYTES", 14 * 1024**3))
+    # (measured r4: a 12.9 GB delta OOMs a 16 GB v5e once scatter + scan
+    # buffers are counted; 11 GB leaves the needed headroom)
+    budget = int(os.environ.get("GCI_OVERLAP_MAX_BYTES", 11 * 1024**3))
     if n_chunks * cs * 4 > budget:
         return None
     a = DeltaAccumulator(layout, flank_len, cs)
@@ -295,6 +297,7 @@ def run_filter(
                                 f"({type(exc).__name__}); falling back",
                                 file=sys.stderr,
                             )
+                            acc.release()
                             acc = None
                 # candidate rows are collected EVEN on the overlap path
                 # (O(reads) host memory): they back the curation bookkeeping
@@ -392,6 +395,7 @@ def run_filter(
                     "recomputing via the standard path",
                     file=sys.stderr,
                 )
+                acc.release()
                 acc = None
         if acc is not None:
             pass
