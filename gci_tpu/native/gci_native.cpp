@@ -1687,14 +1687,19 @@ static bool depth_runs_bgzf_core(const int64_t* vals, const int64_t* counts,
             }
             // crc: head partial line + 2^j-line ladder + tail partial line
             if (m < 4096) {
+              // one (phase-rotated) period, then doubling memcpy expansion
+              // (`done` stays a multiple of ll, so the copied prefix is
+              // periodic-aligned) — per-line 3-6 byte memcpys were the
+              // dense-case fill bottleneck
               uint8_t* tb = text.data() + pend;
-              size_t w2 = 0;
-              int ph = phase;
-              while ((int64_t)w2 < m) {
-                int take = (int)std::min<int64_t>(ll - ph, m - (int64_t)w2);
-                memcpy(tb + w2, lpu + ph, (size_t)take);
-                w2 += (size_t)take;
-                ph = 0;
+              const int64_t first = std::min<int64_t>(ll, m);
+              for (int64_t i = 0; i < first; i++)
+                tb[i] = lpu[(phase + i) % ll];
+              int64_t done = first;
+              while (done < m) {
+                int64_t cpy = std::min(done, m - done);
+                memcpy(tb + done, tb, (size_t)cpy);
+                done += cpy;
               }
               pend += (size_t)m;
             } else {
