@@ -61,6 +61,19 @@ def _make_overlap_accumulator(
         return None
     if os.environ.get("GCI_NO_OVERLAP"):
         return None
+    if not os.environ.get("GCI_FORCE_OVERLAP"):
+        # overlap adds per-pack-chunk device dispatches; behind a
+        # high-latency link (e.g. a tunneled TPU: ~19 ms/call, measured r4:
+        # rehearsal pack 1.8 -> 7.4 s WITH overlap) they cost more than the
+        # depth stage they hide.  Enable only where dispatch is cheap: any
+        # host backend, or a TPU the auto-probe deems colocated.
+        import jax
+
+        if jax.default_backend() == "tpu":
+            from gci_tpu.depth import resolve_auto_backend
+
+            if resolve_auto_backend() != "device":
+                return None
     from gci_tpu.depth.accum import STREAM_SLOT_LIMIT
     from gci_tpu.depth.overlap import DeltaAccumulator
 
@@ -73,19 +86,17 @@ def _make_overlap_accumulator(
         )
         a.mode = "device"
         return a
-    from gci_tpu.depth.streamed import resident_chunk_slots
+    # >HBM genomes: coordinate-sweep accumulator — only the chunks near the
+    # read frontier hold live device buffers, each finalized chunk scans
+    # while the producer inflates the next BAM chunk, so device memory is
+    # O(live chunks) at ANY genome size (a whole-genome resident delta OOMs
+    # a 16 GB v5e at 3.1 Gbp)
+    from gci_tpu.depth.overlap import SweepAccumulator
 
-    cs = resident_chunk_slots(total)
-    n_chunks = -(-total // cs)
-    # the resident delta must fit HBM alongside the chunk-scan workspaces
-    # (measured r4: a 12.9 GB delta OOMs a 16 GB v5e once scatter + scan
-    # buffers are counted; 11 GB leaves the needed headroom)
-    budget = int(os.environ.get("GCI_OVERLAP_MAX_BYTES", 11 * 1024**3))
-    if n_chunks * cs * 4 > budget:
-        return None
-    a = DeltaAccumulator(layout, flank_len, cs)
-    a.mode = "streamed"
-    return a
+    return SweepAccumulator(
+        layout, flank_len,
+        chunk_slots=int(os.environ.get("GCI_STREAM_CHUNK_SLOTS", 256 * 1024 * 1024)),
+    )
 
 
 def run_filter(
@@ -377,7 +388,6 @@ def run_filter(
             # falls back to the classic path below — the candidate rows
             # were collected regardless.
             from gci_tpu.depth.fused import DeviceDepth
-            from gci_tpu.depth.streamed import events_from_delta2d_streamed
 
             try:
                 if acc.mode == "device":
@@ -385,10 +395,8 @@ def run_filter(
                         layout, acc.delta_flat(), flank_len, gaps=gaps,
                         issue_range=(-1, threshold),
                     )
-                else:
-                    depths = events_from_delta2d_streamed(
-                        layout, acc.delta2d, chunk_slots=acc.chunk_slots
-                    )
+                else:  # "sweep": most chunks already scanned during pack
+                    depths = acc.finish()
             except Exception as exc:
                 print(
                     f"overlap depth scan failed ({type(exc).__name__}); "

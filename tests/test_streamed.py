@@ -256,3 +256,134 @@ def test_run_gci_overlap_multi_chunk_matches_events(tmp_path, rng, monkeypatch):
     for f in ("S.depth.gz", "S.0.depth.bed", "S.gci", "S.gaps.bed"):
         with open(f"{d_ev}/{f}", "rb") as a, open(f"{d_ov}/{f}", "rb") as b:
             assert a.read() == b.read(), f
+
+
+def test_sweep_accumulator_matches_events_with_retro_retraction(rng):
+    """Coordinate-sweep overlap (finalize chunks as sorted reads pass):
+    batch parity including retro-retractions that reach back into already
+    finalized+scanned chunks (event-space fixup path)."""
+    from gci_tpu.depth.eventspace import events_dict_from_reads
+    from gci_tpu.depth.overlap import SweepAccumulator
+    from gci_tpu.filters.cascade import dedup_last_wins
+    from gci_tpu.io.names import hash_names, keys_view
+
+    lens = {"c1": 60000, "c2": 40000}
+    layout = GenomeLayout.from_targets(lens)
+    n = 900
+    # sorted-by-coordinate read stream with duplicate names sprinkled so
+    # retractions reach back across chunk boundaries
+    tid = np.sort(rng.integers(0, 2, n)).astype(np.int32)
+    L = np.array([60000, 40000])[tid]
+    start = np.sort((L * rng.random(n) * 0.9).astype(np.int64) + tid * 0)
+    # global-sort: sort by (tid, start) like a coordinate-sorted BAM
+    order = np.lexsort((start, tid))
+    tid, start = tid[order], start[order]
+    L = np.array([60000, 40000])[tid]
+    end = np.minimum(start + rng.integers(40, 3000, n), L)
+    names = []
+    for k in range(n):
+        if k > 50 and rng.random() < 0.08:
+            # re-use a much earlier name -> retraction into finalized chunks
+            names.append(f"r{int(rng.integers(0, max(k - 50, 1)))}".encode())
+        else:
+            names.append(f"r{k}".encode())
+    keys = hash_names(names)
+
+    surv = dedup_last_wins(keys, np.ones(n, bool))
+    want = events_dict_from_reads(
+        layout, tid[surv], start[surv], end[surv], flank_len=15
+    )
+
+    acc = SweepAccumulator(layout, 15, chunk_slots=8192)
+    bounds = np.linspace(0, n, 10).astype(int)
+    for k in range(9):
+        lo, hi = bounds[k], bounds[k + 1]
+        csurv = dedup_last_wins(keys[lo:hi], np.ones(hi - lo, bool)) + lo
+        acc.add_chunk(
+            keys_view(keys[csurv]), tid[csurv], start[csurv], end[csurv]
+        )
+    assert acc.frontier > 0, "sweep never finalized a chunk during pack"
+    got = acc.finish()
+    assert set(got) == set(want)
+    for t in want:
+        np.testing.assert_array_equal(
+            got[t].materialize(), want[t].materialize(), err_msg=t
+        )
+
+
+def test_sweep_accumulator_unsorted_input_stays_correct(rng):
+    """Unsorted reads disable early finalization but the result still
+    matches the batch oracle."""
+    from gci_tpu.depth.eventspace import events_dict_from_reads
+    from gci_tpu.depth.overlap import SweepAccumulator
+    from gci_tpu.filters.cascade import dedup_last_wins
+    from gci_tpu.io.names import hash_names, keys_view
+
+    lens = {"c1": 30000}
+    layout = GenomeLayout.from_targets(lens)
+    n = 400
+    tid = np.zeros(n, np.int32)
+    start = rng.integers(0, 29000, n).astype(np.int64)  # NOT sorted
+    end = np.minimum(start + rng.integers(40, 2000, n), 30000)
+    names = [f"r{int(rng.integers(0, 150))}".encode() for _ in range(n)]
+    keys = hash_names(names)
+    surv = dedup_last_wins(keys, np.ones(n, bool))
+    want = events_dict_from_reads(
+        layout, tid[surv], start[surv], end[surv], flank_len=15
+    )
+    acc = SweepAccumulator(layout, 15, chunk_slots=4096)
+    bounds = np.linspace(0, n, 6).astype(int)
+    for k in range(5):
+        lo, hi = bounds[k], bounds[k + 1]
+        csurv = dedup_last_wins(keys[lo:hi], np.ones(hi - lo, bool)) + lo
+        acc.add_chunk(
+            keys_view(keys[csurv]), tid[csurv], start[csurv], end[csurv]
+        )
+    got = acc.finish()
+    for t in want:
+        np.testing.assert_array_equal(
+            got[t].materialize(), want[t].materialize(), err_msg=t
+        )
+
+
+def test_sweep_accumulator_retro_add_after_finalization():
+    """An out-of-order ADD behind the finalization frontier (unsorted
+    input detected late) applies the +1 event-space fixup — the signed
+    counterpart of the retraction path."""
+    from gci_tpu.depth.eventspace import events_dict_from_reads
+    from gci_tpu.depth.overlap import SweepAccumulator
+    from gci_tpu.filters.cascade import dedup_last_wins
+    from gci_tpu.io.names import hash_names, keys_view
+
+    layout = GenomeLayout.from_targets({"c": 40000})
+    batches = [
+        (np.sort(np.linspace(0, 8000, 40).astype(np.int64)), "a"),
+        (np.sort(np.linspace(30000, 36000, 40).astype(np.int64)), "b"),
+        (np.array([100, 36500], np.int64), "z"),  # 100 is behind the frontier
+    ]
+    acc = SweepAccumulator(layout, 15, chunk_slots=4096)
+    all_tid, all_s, all_e, all_names = [], [], [], []
+    for si, (s, pfx) in enumerate(batches):
+        n = s.shape[0]
+        tid = np.zeros(n, np.int32)
+        e = np.minimum(s + 800, 40000)
+        names = [f"{pfx}{k}".encode() for k in range(n)]
+        keys = hash_names(names)
+        sv = dedup_last_wins(keys, np.ones(n, bool))
+        acc.add_chunk(keys_view(keys[sv]), tid[sv], s[sv], e[sv])
+        if si == 1:
+            assert acc.frontier > 0
+        all_tid.append(tid)
+        all_s.append(s)
+        all_e.append(e)
+        all_names += names
+    got = acc.finish()
+    tid = np.concatenate(all_tid)
+    s = np.concatenate(all_s)
+    e = np.concatenate(all_e)
+    keys = hash_names(all_names)
+    sv = dedup_last_wins(keys, np.ones(len(all_names), bool))
+    want = events_dict_from_reads(layout, tid[sv], s[sv], e[sv], flank_len=15)
+    np.testing.assert_array_equal(
+        got["c"].materialize(), want["c"].materialize()
+    )
