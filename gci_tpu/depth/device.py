@@ -124,12 +124,6 @@ def depth_single(gs, ge, live, total_slots: int):
 
 
 @jax.jit
-def apply_gap_mask(depth, gap_marks):
-    """Zero depth where the gap indicator (diff-array cumsum) is positive."""
-    return jnp.where(gap_marks > 0, 0, depth)
-
-
-@jax.jit
 def two_type_max(hifi_depth, nano_depth):
     """Per-base max of two read types (GCI.py:332-353 on device)."""
     return jnp.maximum(hifi_depth, nano_depth)
