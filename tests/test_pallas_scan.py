@@ -74,6 +74,15 @@ def test_fused_scan_large_magnitude_deltas_compiled_tpu(tmp_path):
         "depth, rise, fall = fused_depth_scan(delta, valid, -1, 0, rows=rows)\n"
         "np.testing.assert_array_equal(\n"
         "    np.asarray(depth), np.cumsum(delta).astype(np.int32))\n"
+        "# the packed production kernel, compiled, vs its XLA oracle\n"
+        "from gci_tpu.depth.pallas_scan import (\n"
+        "    fused_depth_scan_flags, fused_depth_scan_flags_xla)\n"
+        "flags = ((rng.random(total) < 0.1).astype(np.int8)\n"
+        "         + (rng.random(total) < 0.9).astype(np.int8) * 2)\n"
+        "d2, o2 = fused_depth_scan_flags(delta, flags, -1, 0, rows=rows)\n"
+        "dw, ow = fused_depth_scan_flags_xla(delta, flags, -1, 0)\n"
+        "np.testing.assert_array_equal(np.asarray(d2), np.asarray(dw))\n"
+        "np.testing.assert_array_equal(np.asarray(o2), np.asarray(ow))\n"
         "print('TPU_COMPILED_OK')\n"
     )
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
