@@ -219,7 +219,7 @@ def make_sharded_interval_fn(mesh: Mesh, total_slots: int):
     assert total_slots % gp == 0
 
     def step(depth, valid, leftmost, rightmost):
-        m = (depth > leftmost[0]) & (depth <= rightmost[0]) & valid
+        m = (depth > leftmost[0]) & (depth <= rightmost[0]) & (valid > 0)
         gp_idx = jax.lax.axis_index("gp")
         # previous shard's last element (False for shard 0)
         last = m[-1:]
@@ -229,14 +229,16 @@ def make_sharded_interval_fn(mesh: Mesh, total_slots: int):
         prev = jnp.concatenate([prev_last[None], m[:-1]])
         rise = m & ~prev
         fall = ~m & prev
-        return m, rise, fall
+        # the in-range mask itself is never read back (edges compact
+        # per-shard) — not writing it saves an O(genome) HBM stream
+        return rise, fall
 
     return jax.jit(
         shard_map(
             step,
             mesh=mesh,
             in_specs=(P("gp"), P("gp"), P(), P()),
-            out_specs=(P("gp"), P("gp"), P("gp")),
+            out_specs=(P("gp"), P("gp")),
         )
     )
 
@@ -266,6 +268,61 @@ def make_sharded_change_fn(mesh: Mesh, total_slots: int):
 
     return jax.jit(
         shard_map(step, mesh=mesh, in_specs=(P("gp"),), out_specs=P("gp"))
+    )
+
+
+def make_sharded_count_fn(mesh: Mesh, n_bitmaps: int):
+    """Per-gp-shard nonzero counts for ``n_bitmaps`` sharded int8 bitmaps.
+
+    Output: one (gp,) int32 array per bitmap — the tiny readback that sizes
+    the per-shard compaction below.
+    """
+    from jax import shard_map
+
+    def step(*bitmaps):
+        return tuple(
+            jnp.sum(b != 0, dtype=jnp.int32)[None] for b in bitmaps
+        )
+
+    return jax.jit(
+        shard_map(
+            step, mesh=mesh,
+            in_specs=tuple(P("gp") for _ in range(n_bitmaps)),
+            out_specs=tuple(P("gp") for _ in range(n_bitmaps)),
+        )
+    )
+
+
+def make_sharded_compact_gather_fn(mesh: Mesh, size: int, k_off: int):
+    """Per-shard bitmap compaction + value gather under shard_map.
+
+    Each gp shard compacts its LOCAL bitmap into ``size`` sorted local
+    indices (-1 padded) and gathers ``values`` at those indices plus at
+    ``k_off`` extra per-shard local offsets — so the host readback is
+    O(edges + offsets) instead of the O(genome) bitmap, with only int32
+    shard-local indexing (valid at any genome size).  This sidesteps both
+    pathologies: XLA's SPMD partitioner on sharded flatnonzero (minutes)
+    and multi-GB bitmap pulls over narrow host links (measured r4: 85 s
+    for one 0.5G-slot genome through the tunnel).
+    """
+    from jax import shard_map
+
+    def step(bitmap, values, loff):
+        pos = jnp.cumsum((bitmap != 0).astype(jnp.int32))
+        kk = jnp.arange(1, size + 1, dtype=pos.dtype)
+        idx = jnp.where(
+            kk <= pos[-1], jnp.searchsorted(pos, kk), -1
+        ).astype(jnp.int32)
+        vals = jnp.take(values, jnp.clip(idx, 0, None))
+        ovals = jnp.take(values, jnp.clip(loff[0], 0, None))
+        return idx[None], vals[None], ovals[None]
+
+    return jax.jit(
+        shard_map(
+            step, mesh=mesh,
+            in_specs=(P("gp"), P("gp"), P("gp", None)),
+            out_specs=(P("gp", None), P("gp", None), P("gp", None)),
+        )
     )
 
 

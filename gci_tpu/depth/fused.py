@@ -180,7 +180,7 @@ def _batched_flags_readback(array, layout: GenomeLayout, flags, masks: tuple,
 
     counts = [int(c) for c in np.asarray(_flag_counts_fn(masks)(flags))]
     sizes = tuple(0 if c == 0 else 1 << (c - 1).bit_length() for c in counts)
-    offsets = jnp.asarray(np.asarray(layout.offsets, np.int32))
+    offsets = jnp.asarray(np.asarray(layout.offsets[:-1], np.int32))
     packed = np.asarray(
         _flag_compact_pack_fn(sizes, masks, gather_stream)(
             array, offsets, flags
@@ -213,7 +213,7 @@ def _batched_edge_readback(array, layout: GenomeLayout, bitmaps,
     sizes = tuple(
         0 if c == 0 else 1 << (c - 1).bit_length() for c in counts
     )
-    offsets = jnp.asarray(np.asarray(layout.offsets, np.int32))
+    offsets = jnp.asarray(np.asarray(layout.offsets[:-1], np.int32))
     packed = np.asarray(
         _compact_pack_fn(sizes, gather_stream)(array, offsets, *bitmaps)
     )
@@ -391,7 +391,7 @@ class DeviceDepth(ResidentDepth):
 
     def _set_gather_map(self, change_idx, change_vals, offset_vals) -> None:
         pos = np.concatenate(
-            [change_idx, np.asarray(self.layout.offsets, np.int64)]
+            [change_idx, np.asarray(self.layout.offsets[:-1], np.int64)]
         )
         vals = np.concatenate([change_vals, offset_vals])
         order = np.argsort(pos, kind="stable")

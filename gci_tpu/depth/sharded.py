@@ -49,13 +49,57 @@ def _change_fn(mesh, pad_total):
 
 
 @functools.lru_cache(maxsize=32)
-def _replicated_take_fn(mesh):
-    """Cached replicated-output gather for multi-process value readback."""
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+def _count_fn(mesh, n_bitmaps):
+    from gci_tpu.depth.device import make_sharded_count_fn
 
-    return jax.jit(jnp.take, out_shardings=NamedSharding(mesh, P()))
+    return make_sharded_count_fn(mesh, n_bitmaps)
+
+
+@functools.lru_cache(maxsize=64)
+def _compact_gather_fn(mesh, size, k_off):
+    from gci_tpu.depth.device import make_sharded_compact_gather_fn
+
+    return make_sharded_compact_gather_fn(mesh, size, k_off)
+
+
+def _shard_compact(mesh, bitmap, values, pad_total, counts,
+                   offsets: np.ndarray):
+    """Host assembly of the per-shard compaction: returns (global sorted
+    int64 indices, values at those indices, values at ``offsets``)."""
+    import jax.numpy as jnp
+
+    gp = mesh.shape["gp"]
+    shard = pad_total // gp
+    size = max(1, 1 << (int(counts.max()) - 1).bit_length()) if counts.max() else 1
+    # per-shard local offset table (k_off columns, -1 padded)
+    o_shard = (offsets // shard).astype(np.int64)
+    o_loc = (offsets % shard).astype(np.int32)
+    k_off = max(1, int(np.bincount(o_shard, minlength=gp).max()) if offsets.size else 1)
+    loff = np.full((gp, k_off), -1, np.int32)
+    slot = np.zeros(gp, np.int64)
+    for j in range(offsets.shape[0]):
+        g = int(o_shard[j])
+        loff[g, slot[g]] = o_loc[j]
+        slot[g] += 1
+    idx2d, vals2d, ovals2d = _compact_gather_fn(mesh, size, k_off)(
+        bitmap, values, _replicated_global(mesh, loff)
+    )
+    idx2d = _host_all(idx2d)
+    vals2d = _host_all(vals2d)
+    ovals2d = _host_all(ovals2d)
+    g_idx: list[np.ndarray] = []
+    g_vals: list[np.ndarray] = []
+    for g in range(gp):
+        keep = idx2d[g] >= 0
+        g_idx.append(idx2d[g][keep].astype(np.int64) + g * shard)
+        g_vals.append(vals2d[g][keep].astype(np.int64))
+    offset_vals = np.empty(offsets.shape[0], np.int64)
+    slot = np.zeros(gp, np.int64)
+    for j in range(offsets.shape[0]):
+        g = int(o_shard[j])
+        offset_vals[j] = ovals2d[g, slot[g]]
+        slot[g] += 1
+    return np.concatenate(g_idx), np.concatenate(g_vals), offset_vals
 
 
 @functools.lru_cache(maxsize=8)
@@ -184,6 +228,7 @@ class ShardedDepth(ResidentDepth):
     """
 
     def __init__(self, mesh, layout: GenomeLayout, array, pad_total: int):
+        self._valid_cache: dict[int, object] = {}
         self.mesh = mesh
         self.layout = layout
         self.array = array  # jax int32, (pad_total,), sharded over gp
@@ -293,6 +338,37 @@ class ShardedDepth(ResidentDepth):
             arr = max_fn(self.array, other.array)
         return ShardedDepth(self.mesh, self.layout, arr, self.pad_total)
 
+    def _valid_marks(self, flank_len: int):
+        """Device int32 scan-window indicator, built ON device from
+        O(targets) interval events via the sharded depth accumulator — a
+        host-built per-base mask would be an O(genome) upload per call
+        (measured r4: ~15 s for 0.5G slots through the tunnel link)."""
+        cached = self._valid_cache.get(flank_len)
+        if cached is not None:
+            return cached
+        from gci_tpu.depth.fused import _valid_intervals
+        from gci_tpu.parallel.mesh import pad_to_multiple
+
+        vs_l, ve_l = _valid_intervals(self.layout, flank_len)
+        vs = np.asarray(vs_l, np.int64)
+        ve = np.asarray(ve_l, np.int64)
+        shard = self.pad_total // self.mesh.shape["gp"]
+        packed = (
+            (vs // shard).astype(np.int32),
+            (vs % shard).astype(np.int32),
+            (ve // shard).astype(np.int32),
+            (ve % shard).astype(np.int32),
+            np.ones(vs.shape[0], np.int32),
+        )
+        dp = self.mesh.shape["dp"]
+        packed = tuple(pad_to_multiple(a, dp, fill=f)
+                       for a, f in zip(packed, (-1, 0, -1, 0, 0)))
+        fn = _depth_fn(self.mesh, self.pad_total)
+        with self.mesh:
+            marks = fn(*_to_global(self.mesh, packed))
+        self._valid_cache[flank_len] = marks
+        return marks
+
     def collapse_dict(
         self,
         leftmost: float = -1,
@@ -301,48 +377,38 @@ class ShardedDepth(ResidentDepth):
         start_pos: int = 0,
     ) -> dict[str, list[tuple[int, int]]]:
         """Issue intervals via the sharded edge extraction (GCI.py:356-390)."""
-        import jax.numpy as jnp
-
-        from gci_tpu.depth.device import build_scan_valid, edges_to_intervals
-
-        valid = build_scan_valid(self.layout, flank_len, self.pad_total)
         fn = _interval_fn(self.mesh, self.pad_total)
+        valid = self._valid_marks(flank_len)
         with self.mesh:
-            m, rise, fall = fn(
+            rise, fall = fn(
                 self.array,
-                _gp_global(self.mesh, valid),
+                valid,
                 _replicated_global(self.mesh, np.asarray([leftmost], np.int32)),
                 _replicated_global(self.mesh, np.asarray([rightmost], np.int32)),
             )
-        # NOTE: device-side index compaction directly on the MESH-SHARDED
-        # bitmaps is deliberately avoided — XLA's SPMD partitioner handles
-        # flatnonzero on sharded inputs pathologically (minutes for ~10M
-        # slots).  Single-process meshes instead reshard the edge bitmaps
-        # to one device (ICI gather) and compact there with the fused
-        # batched machinery: the host transfer is O(edges), not the
-        # O(genome) bitmap (measured r4: the bitmap pull cost 85 s through
-        # the narrow tunnel link for a 0.5G-slot genome).  Multi-process
-        # meshes keep the allgathered-bitmap path (shards span hosts).
-        import jax
+        # NOTE: index compaction directly on the MESH-SHARDED bitmaps is
+        # deliberately avoided — XLA's SPMD partitioner handles flatnonzero
+        # on sharded inputs pathologically (minutes for ~10M slots) — and
+        # so is pulling the whole O(genome) bitmaps to host (measured r4:
+        # 85 s / 0.5G slots through a narrow tunnel link; a device_put
+        # reshard to one device routes through the host and costs the
+        # same).  Instead each gp shard compacts its LOCAL bitmap under
+        # shard_map (int32 shard-local indices, valid at any genome size)
+        # and the host reads O(edges).
+        from gci_tpu.depth.device import edge_indices_to_intervals
 
-        if jax.process_count() == 1:
-            from gci_tpu.depth.device import edge_indices_to_intervals
-            from gci_tpu.depth.fused import _batched_edge_readback
-
-            dev = self.mesh.devices.flat[0]
-            rise0 = jax.device_put(rise, dev)
-            fall0 = jax.device_put(fall, dev)
-            # values are irrelevant for interval extraction: reuse a bitmap
-            # as the gather source rather than moving the depth array
-            (rise_idx, fall_idx), _, _ = _batched_edge_readback(
-                rise0, self.layout, (rise0, fall0), 0
-            )
-            return edge_indices_to_intervals(
-                self.layout, rise_idx, fall_idx, flank_len, start_pos
-            )
-        return edges_to_intervals(
-            self.layout, _host_all(rise), _host_all(fall), _host_all(m),
-            flank_len, start_pos,
+        no_off = np.empty(0, np.int64)
+        counts_r, counts_f = (
+            _host_all(c) for c in _count_fn(self.mesh, 2)(rise, fall)
+        )
+        rise_idx, _, _ = _shard_compact(
+            self.mesh, rise, rise, self.pad_total, counts_r, no_off
+        )
+        fall_idx, _, _ = _shard_compact(
+            self.mesh, fall, fall, self.pad_total, counts_f, no_off
+        )
+        return edge_indices_to_intervals(
+            self.layout, rise_idx, fall_idx, flank_len, start_pos
         )
 
     # ------------------------------------------------------------ host view
@@ -363,53 +429,21 @@ class ShardedDepth(ResidentDepth):
         fn = _change_fn(self.mesh, self.pad_total)
         with self.mesh:
             change = fn(self.array)
-        if jax.process_count() == 1 and self.pad_total <= _INT32_MAX:
-            # single-process: reshard to one device and compact + gather
-            # there — O(runs) host transfer instead of the O(genome) int8
-            # bitmap (see collapse_dict NOTE)
-            from gci_tpu.depth.fused import _batched_edge_readback
-
-            dev = self.mesh.devices.flat[0]
-            arr0 = jax.device_put(self.array, dev)
-            change0 = jax.device_put(change, dev)
-            (idx,), vals, offset_vals = _batched_edge_readback(
-                arr0, self.layout, (change0,), 0
-            )
-            pos = np.concatenate(
-                [idx, np.asarray(self.layout.offsets, np.int64)]
-            )
-            allv = np.concatenate([vals, offset_vals])
-            order = np.argsort(pos, kind="stable")
-            pos, allv = pos[order], allv[order]
-
-            def gather0(all_idx: np.ndarray) -> np.ndarray:
-                return allv[np.searchsorted(pos, all_idx)]
-
-            self._events = events_from_change_indices(
-                self.layout, idx, gather0
-            )
-            return self._events
-        # host flatnonzero of the int8 bitmap (see collapse_dict NOTE)
-        idx = np.flatnonzero(_host_all(change)).astype(np.int64)
+        # per-shard compaction + value gather (see collapse_dict NOTE):
+        # O(runs + targets) host transfer at any genome size and process
+        # count — shard-local int32 indexing never wraps
+        (counts,) = (_host_all(c) for c in _count_fn(self.mesh, 1)(change))
+        offsets = np.asarray(self.layout.offsets[:-1], np.int64)
+        idx, vals, offset_vals = _shard_compact(
+            self.mesh, change, self.array, self.pad_total, counts, offsets
+        )
+        pos = np.concatenate([idx, offsets])
+        allv = np.concatenate([vals, offset_vals])
+        order = np.argsort(pos, kind="stable")
+        pos, allv = pos[order], allv[order]
 
         def gather(all_idx: np.ndarray) -> np.ndarray:
-            if self.pad_total > _INT32_MAX:
-                # >2^31 slots: int32 device indexing would wrap — gather on
-                # host from the assembled array (O(genome) transfer, the
-                # honest cost at this scale)
-                host = _host_all(self.array)
-                return host[all_idx].astype(np.int64)
-            if jax.process_count() > 1:
-                with self.mesh:
-                    vals = _replicated_take_fn(self.mesh)(
-                        self.array,
-                        _replicated_global(self.mesh, all_idx.astype(np.int32)),
-                    )
-                return np.asarray(vals).astype(np.int64)
-            with self.mesh:
-                return np.asarray(
-                    jnp.take(self.array, jnp.asarray(all_idx.astype(np.int32)))
-                ).astype(np.int64)
+            return allv[np.searchsorted(pos, all_idx)]
 
         self._events = events_from_change_indices(self.layout, idx, gather)
         return self._events

@@ -82,12 +82,12 @@ def test_sharded_depth_and_intervals(rng, n_devices):
     interval_fn = make_sharded_interval_fn(mesh, pad_total)
     with mesh:
         depth = depth_fn(*(jnp.asarray(a) for a in packed))
-        m, rise, fall = interval_fn(
+        rise, fall = interval_fn(
             depth, jnp.asarray(valid),
             jnp.asarray([-1], dtype=jnp.int32), jnp.asarray([0], dtype=jnp.int32),
         )
     np.testing.assert_array_equal(np.asarray(depth)[:total], want_flat)
-    got = edges_to_intervals(layout, np.asarray(rise), np.asarray(fall), np.asarray(m), 15)
+    got = edges_to_intervals(layout, np.asarray(rise), np.asarray(fall), None, 15)
     want = collapse_depth_dict(depth_dict_from_flat(layout, want_flat), -1, 0, 15, 0)
     assert got == want
 
