@@ -1,8 +1,9 @@
 """Single-chip device-resident depth: the fused Pallas production path.
 
 ``depth_backend="device"`` routes ``run_gci`` through this module.  One
-invocation of the fused scan kernel (gci_tpu.depth.pallas_scan.
-fused_depth_scan_masked) replaces the reference's four hot per-base loops —
+invocation of the packed-stream fused scan kernel (gci_tpu.depth.
+pallas_scan.fused_depth_scan_flags) replaces the reference's four hot
+per-base loops —
 depth accumulation (GCI.py:302-306), gap masking (GCI.py:315-329), the issue
 interval scan (GCI.py:356-390) and the run boundaries behind the checkpoint
 writer (GCI.py:99-143) — with a single HBM pass on the concatenated genome
@@ -15,7 +16,7 @@ axis.  Everything that leaves the device is O(reads + runs + edges):
 * the per-base axis itself never crosses to host.
 
 Off-TPU (CPU tests, unaligned shapes) the same math runs as one fused XLA
-program (``fused_depth_scan_masked_xla``); both are asserted equal to the
+program (``fused_depth_scan_flags_xla``); both are asserted equal to the
 numpy oracle.
 """
 from __future__ import annotations
