@@ -678,6 +678,7 @@ def main():
     # events outputs (the CPU dryrun validates N-device sharding; this
     # validates the same program on actual TPU)
     try:
+        e2e["sharded_1x1_cold"] = run_e2e("sharded", ref, bam, mesh="1,1")
         e2e["sharded_1x1"] = run_e2e("sharded", ref, bam, mesh="1,1")
         sharded_mismatch = [
             f
