@@ -49,22 +49,23 @@ class LastWinsFold:
         ``kv`` is the chunk's void16 key view (unique within the chunk).
         """
         retract: list[np.ndarray] = []
-        for keys, rows, alive in self._pockets:
-            pos = np.searchsorted(keys, kv)
-            posc = np.minimum(pos, keys.shape[0] - 1)
-            hit = (keys[posc] == kv) & alive[posc]
-            if hit.any():
-                h = posc[hit]
-                retract.append(rows[h])
-                alive[h] = False
-        order = np.argsort(kv)
-        rows = np.stack(
-            [tid.astype(np.int64), start.astype(np.int64),
-             end.astype(np.int64)], axis=1,
-        )[order]
-        self._pockets.append(
-            (kv[order], rows, np.ones(kv.shape[0], dtype=bool))
-        )
+        if kv.shape[0]:
+            for keys, rows, alive in self._pockets:
+                pos = np.searchsorted(keys, kv)
+                posc = np.minimum(pos, keys.shape[0] - 1)
+                hit = (keys[posc] == kv) & alive[posc]
+                if hit.any():
+                    h = posc[hit]
+                    retract.append(rows[h])
+                    alive[h] = False
+            order = np.argsort(kv)
+            rows = np.stack(
+                [tid.astype(np.int64), start.astype(np.int64),
+                 end.astype(np.int64)], axis=1,
+            )[order]
+            self._pockets.append(
+                (kv[order], rows, np.ones(kv.shape[0], dtype=bool))
+            )
         if retract:
             r = np.concatenate(retract)
             return r[:, 0], r[:, 1], r[:, 2]
