@@ -57,11 +57,13 @@ E2E_READS = int(os.environ.get("GCI_BENCH_E2E_READS", 250_000))
 E2E_DIR = os.environ.get("GCI_BENCH_DIR", "/tmp/gci_tpu_bench")
 
 HBM_SOL_GBPS = 819.0  # v5e single-chip HBM bandwidth speed-of-light
-# measured r4: a copy kernel with the packed kernel's exact stream mix
-# (i32+i8 in, i32+i8 out) runs 15.6 ms per 0.5G-slot pass at rows=2048 —
-# 343 GB/s of the 10-byte traffic; rows-invariant.  This is the realistic
-# DMA ceiling for the production structure (experiments/KERNEL_FLOOR_NOTES.md)
-STRUCTURE_SOL_GBPS = 343.0
+# measured r5 (experiments/kernel_r5.py): a copy kernel with the folded
+# production kernel's exact stream mix (i32 in, i32+i8 out) runs 14.90 ms
+# per 0.5G-slot pass at rows=2048 — 324 GB/s of the 9-byte traffic;
+# rows-invariant.  This is the realistic DMA ceiling for the production
+# structure (experiments/KERNEL_FLOOR_NOTES.md).  All kernel throughput is
+# reported in ONE accounting: bytes the kernel actually moves (9 B/slot).
+STRUCTURE_SOL_GBPS = 324.4
 
 
 def synth_columns(rng, n_reads, target_len, n_targets):
@@ -157,22 +159,26 @@ def run_device(cols, targets_length):
 # ---------------------------------------------------------------------------
 
 def measure_kernel_bandwidth(iters: int = 16):
-    """Per-pass wall + achieved HBM GB/s of the packed production kernel
-    (fused_depth_scan_flags: delta i32 + flag byte in; depth i32 + flag
-    byte out = 10 bytes/slot; the r3 kernel moved 13).
+    """Per-pass wall + achieved HBM GB/s of the folded production kernel
+    (fused_depth_scan_packed: ONE packed int32 event word in; depth i32 +
+    flag byte out = 9 bytes/slot; the r4 kernel moved 10, r3 moved 13).
 
     ``iters`` kernels are CHAINED inside one jit (each consumes the previous
-    depth as its delta — a true serial dependency XLA cannot CSE), so the
-    per-call host<->device round-trip latency (tens of ms through the axon
-    tunnel — larger than the kernel itself) amortizes away; a 1-iteration
-    call is also timed to report that dispatch overhead separately.
-    ``gbps_equiv_13B`` reports the same-work throughput at the r3 13-byte
-    accounting for cross-round comparability.
+    depth as its next input word — a true serial dependency XLA cannot CSE),
+    so the per-call host<->device round-trip latency (tens of ms through the
+    axon tunnel — larger than the kernel itself) amortizes away; a
+    1-iteration call is also timed to report that dispatch overhead
+    separately.
+
+    Accounting (VERDICT r4 'Next #10'): ``gbps`` is BYTES ACTUALLY MOVED
+    (9 B/slot) — the single cross-round metric from now on.  Restated in
+    this accounting the history is r3 24.2 ms, r4 19.8 ms, r5 15.7 ms per
+    0.5G-slot pass (see experiments/KERNEL_FLOOR_NOTES.md).
     """
     import jax
     import jax.numpy as jnp
 
-    from gci_tpu.depth.pallas_scan import DEF_ROWS, LANES, fused_depth_scan_flags
+    from gci_tpu.depth.pallas_scan import DEF_ROWS, LANES, fused_depth_scan_packed
 
     if jax.default_backend() != "tpu":
         return None
@@ -180,39 +186,40 @@ def measure_kernel_bandwidth(iters: int = 16):
     total = (512 * 1024 * 1024 // chunk) * chunk  # ~0.5G slots, ~7 GB live
     rng = np.random.default_rng(7)
     delta_h = rng.integers(-1, 2, size=total).astype(np.int32)
+    word_h = delta_h << 2
+    word_h[0] += 1  # valid everywhere, no gaps
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def step(delta, flags, n):
-        def body(_, d):
-            depth, _out = fused_depth_scan_flags(d, flags, -1, 0)
+    def step(word, n):
+        def body(_, w):
+            depth, _out = fused_depth_scan_packed(w, -1, 0)
             return depth  # int32, same shape: feeds the next pass
-        out = jax.lax.fori_loop(0, n, body, delta)
+        out = jax.lax.fori_loop(0, n, body, word)
         return out[-1]
 
-    delta = jnp.asarray(delta_h)
-    flags = jnp.full(total, 2, jnp.int8)  # valid everywhere, no gaps
+    word = jnp.asarray(word_h)
 
     def timed(n):
-        _ = int(np.asarray(step(delta, flags, n)))  # compile + warmup
+        _ = int(np.asarray(step(word, n)))  # compile + warmup
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            _ = int(np.asarray(step(delta, flags, n)))
+            _ = int(np.asarray(step(word, n)))
             times.append(time.perf_counter() - t0)
         return float(np.median(times))
 
     t1 = timed(1)
     tn = timed(iters)
     per_pass = (tn - t1) / (iters - 1)
-    gbps = 10.0 * total / per_pass / 1e9
+    gbps = 9.0 * total / per_pass / 1e9
     return {
         "slots": total,
+        "bytes_per_slot": 9,
         "per_pass_s": round(per_pass, 5),
         "dispatch_overhead_s": round(max(t1 - per_pass, 0.0), 4),
         "gbps": round(gbps, 1),
-        "gbps_equiv_13B": round(13.0 * total / per_pass / 1e9, 1),
         "hbm_frac": round(gbps / HBM_SOL_GBPS, 3),
-        # vs the measured copy-kernel ceiling of this grid structure
+        # vs the measured copy-kernel ceiling of this exact stream mix
         "structure_sol_frac": round(gbps / STRUCTURE_SOL_GBPS, 3),
     }
 

@@ -1,8 +1,9 @@
 """Single-chip device-resident depth: the fused Pallas production path.
 
 ``depth_backend="device"`` routes ``run_gci`` through this module.  One
-invocation of the packed-stream fused scan kernel (gci_tpu.depth.
-pallas_scan.fused_depth_scan_flags) replaces the reference's four hot
+invocation of the folded-input packed-word scan kernel (gci_tpu.depth.
+pallas_scan.fused_depth_scan_packed; the r4 two-stream flags kernel
+remains as the >2^29-reads fallback) replaces the reference's four hot
 per-base loops —
 depth accumulation (GCI.py:302-306), gap masking (GCI.py:315-329), the issue
 interval scan (GCI.py:356-390) and the run boundaries behind the checkpoint
@@ -33,13 +34,24 @@ from gci_tpu.depth.base import ResidentDepth, events_from_change_indices
 # jitted building blocks (cached so repeated pipeline stages share programs)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=4)
+def _mask_fn(gap_bit: int):
+    """Gap-zeroing select, parameterized on which flag bit marks a gap
+    (bit0 in `_flags_fn`-built marks, bit3 in the packed kernel's output
+    flag byte)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda d, marks: jnp.where((marks & gap_bit) != 0, 0, d))
+
+
 @functools.lru_cache(maxsize=1)
 def _elementwise_fns():
     import jax
     import jax.numpy as jnp
 
     # marks are flag bytes: bit0 = in-gap, bit1 = scan-window-valid
-    mask = jax.jit(lambda d, marks: jnp.where((marks & 1) != 0, 0, d))
+    mask = _mask_fn(1)
     vmax = jax.jit(jnp.maximum)
 
     def _change(x):
@@ -359,6 +371,88 @@ def _fused_fn(pad_total: int):
     return jax.jit(step)
 
 
+# depth-field bound of the packed event word (read_delta<<2): the folded
+# kernel is exact iff depth < 2^29 at every position — depth is bounded by
+# the candidate read count, so the builders guard on that and fall back to
+# the unpacked flags kernel beyond it (no realistic input gets there)
+PACKED_DEPTH_LIMIT = 1 << 29
+
+
+@functools.lru_cache(maxsize=16)
+def _packed_scan_fn(pad_total: int):
+    """Folded-input fused scan on a packed event word (static genome size).
+
+    ``word = read_delta<<2 | gap_event<<1 | valid_event``; returns
+    (raw_depth, out_flags with bit0 rise, bit1 fall, bit2 change,
+    bit3 in-gap).  9 B/slot vs the r4 packed kernel's 10, and the word is
+    built by the SAME scatter that accumulates read deltas — the two
+    O(genome) prefix-sum programs `_flags_fn` ran per construction are
+    gone entirely (measured r5 on-chip: 19.8 -> 15.7 ms per 0.5G-slot
+    pass, 94.7% of the 9-byte stream mix's copy ceiling).
+    """
+    import jax
+
+    from gci_tpu.depth.pallas_scan import (
+        DEF_ROWS,
+        LANES,
+        fused_depth_scan_packed,
+        fused_depth_scan_packed_xla,
+    )
+
+    use_kernel = (
+        jax.default_backend() == "tpu" and pad_total % (DEF_ROWS * LANES) == 0
+    )
+
+    def step(word, lo, hi):
+        if use_kernel:
+            return fused_depth_scan_packed(word, lo, hi)
+        return fused_depth_scan_packed_xla(word, lo, hi)
+
+    return jax.jit(step)
+
+
+@functools.lru_cache(maxsize=16)
+def _packed_events_fn(pad_total: int):
+    """Read-delta + gap/valid interval events -> packed word -> fused scan,
+    all one compiled program (the production single-chip construction)."""
+    import jax
+    import jax.numpy as jnp
+
+    scan = _packed_scan_fn(pad_total)
+
+    def step(gs, ge, live4, gap_s, gap_e, val_s, val_e, lo, hi):
+        w = jnp.zeros(pad_total, jnp.int32)
+        w = w.at[gs].add(live4, mode="drop")
+        w = w.at[ge].add(-live4, mode="drop")
+        w = w.at[gap_s].add(2, mode="drop")
+        w = w.at[gap_e].add(-2, mode="drop")
+        w = w.at[val_s].add(1, mode="drop")
+        w = w.at[val_e].add(-1, mode="drop")
+        return scan(w, lo, hi)
+
+    return jax.jit(step)
+
+
+@functools.lru_cache(maxsize=16)
+def _packed_from_delta_fn(pad_total: int):
+    """Like ``_packed_events_fn`` but starting from an already-accumulated
+    plain delta array (the pack<->scatter overlap path): the <<2 shift and
+    the O(intervals) event adds fuse into the scan program's prologue."""
+    import jax
+
+    scan = _packed_scan_fn(pad_total)
+
+    def step(delta, gap_s, gap_e, val_s, val_e, lo, hi):
+        w = jax.lax.shift_left(delta, 2)
+        w = w.at[gap_s].add(2, mode="drop")
+        w = w.at[gap_e].add(-2, mode="drop")
+        w = w.at[val_s].add(1, mode="drop")
+        w = w.at[val_e].add(-1, mode="drop")
+        return scan(w, lo, hi)
+
+    return jax.jit(step)
+
+
 # ---------------------------------------------------------------------------
 # the resident-depth value
 # ---------------------------------------------------------------------------
@@ -374,11 +468,12 @@ class DeviceDepth(ResidentDepth):
 
     def __init__(self, layout: GenomeLayout, array, pad_total: int,
                  gap_marks=None, gaps_src=None, edge_cache=None,
-                 change_idx: np.ndarray | None = None):
+                 change_idx: np.ndarray | None = None, gap_bit: int = 1):
         self.layout = layout
         self.array = array          # jax int32 (pad_total,) — current depth
         self.pad_total = pad_total
         self.gap_marks = gap_marks  # jax int8 gap indicator, shared per run
+        self.gap_bit = gap_bit      # which bit of gap_marks means "in gap"
         self._gaps_src = gaps_src   # the gaps dict gap_marks was built from
         self._edge_cache: dict = dict(edge_cache or {})
         self._change_idx = change_idx  # run boundaries of self.array
@@ -471,9 +566,29 @@ class DeviceDepth(ResidentDepth):
 
         pad_total = cls.pad_total_for(layout.total_slots)
         gs, ge, live = pack_read_deltas(layout, target_id, start, end, flank_len)
-        flags = flags_for(layout, gaps, flank_len, pad_total)
-        has_gaps = gap_interval_events(layout, gaps)[0].shape[0] > 0
+        gap_s, gap_e = gap_interval_events(layout, gaps)
+        has_gaps = gap_s.shape[0] > 0
         lo, hi = issue_range
+        if start.shape[0] < PACKED_DEPTH_LIMIT:
+            # production: folded-input packed-word kernel, flags scattered
+            # into the same word (no separate flag-build prefix sums)
+            val_s, val_e = _valid_intervals(layout, flank_len)
+            raw, out_flags = _packed_events_fn(pad_total)(
+                jnp.asarray(gs), jnp.asarray(ge),
+                jnp.asarray(live.astype(np.int32) << 2),
+                jnp.asarray(gap_s.astype(np.int32)),
+                jnp.asarray(gap_e.astype(np.int32)),
+                jnp.asarray(np.asarray(val_s, np.int32)),
+                jnp.asarray(np.asarray(val_e, np.int32)),
+                jnp.int32(lo), jnp.int32(hi),
+            )
+            return cls._from_kernel_outputs(
+                layout, pad_total, raw, out_flags,
+                out_flags if has_gaps else None, gaps, flank_len, lo, hi,
+                gap_bit=8,
+            )
+        # beyond the packed word's depth-field bound: unpacked flags kernel
+        flags = flags_for(layout, gaps, flank_len, pad_total)
         raw, out_flags = _fused_fn(pad_total)(
             jnp.asarray(gs), jnp.asarray(ge), jnp.asarray(live),
             flags, jnp.int32(lo), jnp.int32(hi),
@@ -501,20 +616,28 @@ class DeviceDepth(ResidentDepth):
 
         pad_total = int(delta.shape[0])
         assert pad_total == cls.pad_total_for(layout.total_slots)
-        flags = flags_for(layout, gaps, flank_len, pad_total)
-        has_gaps = gap_interval_events(layout, gaps)[0].shape[0] > 0
+        gap_s, gap_e = gap_interval_events(layout, gaps)
+        has_gaps = gap_s.shape[0] > 0
+        val_s, val_e = _valid_intervals(layout, flank_len)
         lo, hi = issue_range
-        raw, out_flags = _scan_from_delta_fn(pad_total)(
-            delta, flags, jnp.int32(lo), jnp.int32(hi)
+        raw, out_flags = _packed_from_delta_fn(pad_total)(
+            delta,
+            jnp.asarray(gap_s.astype(np.int32)),
+            jnp.asarray(gap_e.astype(np.int32)),
+            jnp.asarray(np.asarray(val_s, np.int32)),
+            jnp.asarray(np.asarray(val_e, np.int32)),
+            jnp.int32(lo), jnp.int32(hi),
         )
         return cls._from_kernel_outputs(
             layout, pad_total, raw, out_flags,
-            flags if has_gaps else None, gaps, flank_len, lo, hi,
+            out_flags if has_gaps else None, gaps, flank_len, lo, hi,
+            gap_bit=8,
         )
 
     @classmethod
     def _from_kernel_outputs(cls, layout, pad_total, raw, out_flags,
-                             gap_marks, gaps, flank_len, lo, hi):
+                             gap_marks, gaps, flank_len, lo, hi,
+                             gap_bit: int = 1):
         from gci_tpu.depth.device import edge_indices_to_intervals
 
         # one batched readback for all three edge bit-streams + run values
@@ -526,7 +649,7 @@ class DeviceDepth(ResidentDepth):
             layout, rise_idx, fall_idx, flank_len
         )
         dd = cls(layout, raw, pad_total, gap_marks, gaps_src=gaps,
-                 change_idx=change_idx)
+                 change_idx=change_idx, gap_bit=gap_bit)
         dd._set_gather_map(change_idx, change_vals, offset_vals)
         key = (float(lo), float(hi), int(flank_len))
         dd._pending_masked_edges = (key, intervals)
@@ -540,17 +663,18 @@ class DeviceDepth(ResidentDepth):
         if not gaps:
             return self
         marks = self.gap_marks
+        gap_bit = self.gap_bit
         pending = self._pending_masked_edges
         if marks is None or gaps is not self._gaps_src:
             marks = self.gap_marks_for(self.layout, gaps, self.pad_total)
+            gap_bit = 1
             if marks is None:
                 return self
             pending = None  # kernel edges were computed under different gaps
-        mask_fn, *_ = _elementwise_fns()
-        arr = mask_fn(self.array, marks)
+        arr = _mask_fn(gap_bit)(self.array, marks)
         cache = {pending[0]: pending[1]} if pending is not None else {}
         return DeviceDepth(self.layout, arr, self.pad_total, marks,
-                           gaps_src=gaps, edge_cache=cache)
+                           gaps_src=gaps, edge_cache=cache, gap_bit=gap_bit)
 
     def maximum(self, other: "DeviceDepth") -> "DeviceDepth":
         """Per-base two-type max, on device (GCI.py:332-353)."""
@@ -558,7 +682,7 @@ class DeviceDepth(ResidentDepth):
         _, vmax, *_ = _elementwise_fns()
         return DeviceDepth(
             self.layout, vmax(self.array, other.array), self.pad_total,
-            self.gap_marks, gaps_src=self._gaps_src,
+            self.gap_marks, gaps_src=self._gaps_src, gap_bit=self.gap_bit,
         )
 
     def collapse_dict(

@@ -83,6 +83,20 @@ def test_fused_scan_large_magnitude_deltas_compiled_tpu(tmp_path):
         "dw, ow = fused_depth_scan_flags_xla(delta, flags, -1, 0)\n"
         "np.testing.assert_array_equal(np.asarray(d2), np.asarray(dw))\n"
         "np.testing.assert_array_equal(np.asarray(o2), np.asarray(ow))\n"
+        "# the folded-input packed-word kernel, compiled, vs its XLA twin\n"
+        "from gci_tpu.depth.pallas_scan import (\n"
+        "    fused_depth_scan_packed, fused_depth_scan_packed_xla)\n"
+        "word = np.zeros(total, np.int32)\n"
+        "sidx = np.sort(rng.integers(0, total - 64, 40))\n"
+        "np.add.at(word, sidx, 1 << 2)\n"
+        "np.add.at(word, sidx + rng.integers(1, 64, 40), -(1 << 2))\n"
+        "word[0] += 1  # valid everywhere\n"
+        "word[100] += 2\n"
+        "word[400] -= 2  # one gap interval\n"
+        "d3, o3 = fused_depth_scan_packed(word, -1, 0, rows=rows)\n"
+        "dp, op = fused_depth_scan_packed_xla(word, -1, 0)\n"
+        "np.testing.assert_array_equal(np.asarray(d3), np.asarray(dp))\n"
+        "np.testing.assert_array_equal(np.asarray(o3), np.asarray(op))\n"
         "print('TPU_COMPILED_OK')\n"
     )
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
@@ -152,3 +166,79 @@ def test_fused_scan_flags_equivalent_to_masked(rng):
     np.testing.assert_array_equal(np.asarray(r1), out & 1)
     np.testing.assert_array_equal(np.asarray(f1), (out >> 1) & 1)
     np.testing.assert_array_equal(np.asarray(c1), (out >> 2) & 1)
+
+
+def _random_disjoint_events(rng, total, n, max_len):
+    """(starts, stops) of sorted DISJOINT intervals (the packed word's
+    precondition: event prefix sums stay in {0, 1})."""
+    cuts = np.sort(rng.choice(total, size=2 * n, replace=False))
+    return cuts[0::2], cuts[1::2]
+
+
+def test_fused_scan_packed_matches_xla(rng):
+    """Folded-input packed-word kernel vs its XLA twin, randomized."""
+    from gci_tpu.depth.pallas_scan import (
+        fused_depth_scan_packed,
+        fused_depth_scan_packed_xla,
+    )
+
+    rows = 8
+    for trial in range(6):
+        n_chunks = int(rng.integers(1, 4))
+        total = n_chunks * rows * LANES
+        word = np.zeros(total, np.int32)
+        idx = rng.integers(0, total, 500)
+        np.add.at(word, idx, 1 << 2)
+        np.add.at(
+            word, np.minimum(idx + rng.integers(1, 300, 500), total - 1),
+            -(1 << 2),
+        )
+        gs, ge = _random_disjoint_events(rng, total, 12, 200)
+        np.add.at(word, gs, 2)
+        np.add.at(word, ge, -2)
+        vs, ve = _random_disjoint_events(rng, total, 8, 400)
+        np.add.at(word, vs, 1)
+        np.add.at(word, ve, -1)
+        lo, hi = -1, int(rng.integers(0, 3))
+        got = fused_depth_scan_packed(word, lo, hi, rows=rows, interpret=True)
+        want = fused_depth_scan_packed_xla(word, lo, hi)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+        np.testing.assert_array_equal(
+            np.asarray(got[1]), np.asarray(want[1]), err_msg=f"trial {trial}"
+        )
+
+
+def test_fused_scan_packed_equivalent_to_flags(rng):
+    """The packed word's outputs decode to exactly the r4 flags kernel's
+    streams (same math, one fewer input stream), bit3 = the gap indicator."""
+    from gci_tpu.depth.pallas_scan import (
+        fused_depth_scan_flags,
+        fused_depth_scan_packed,
+    )
+
+    rows = 8
+    total = 3 * rows * LANES
+    delta = np.zeros(total, np.int32)
+    idx = rng.integers(0, total, 800)
+    np.add.at(delta, idx, 1)
+    np.add.at(delta, np.minimum(idx + 120, total - 1), -1)
+    gs, ge = _random_disjoint_events(rng, total, 10, 150)
+    vs, ve = _random_disjoint_events(rng, total, 6, 500)
+    gd = np.zeros(total, np.int32)
+    np.add.at(gd, gs, 1)
+    np.add.at(gd, ge, -1)
+    vd = np.zeros(total, np.int32)
+    np.add.at(vd, vs, 1)
+    np.add.at(vd, ve, -1)
+    gap = (np.cumsum(gd) > 0).astype(np.int8)
+    valid = (np.cumsum(vd) > 0).astype(np.int8)
+    word = (delta << 2) + gd * 2 + vd
+
+    d1, o1 = fused_depth_scan_flags(
+        delta, gap + valid * 2, -1, 0, rows=rows, interpret=True
+    )
+    d2, o2 = fused_depth_scan_packed(word, -1, 0, rows=rows, interpret=True)
+    o2 = np.asarray(o2)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(o1), o2 & 7)
+    np.testing.assert_array_equal(gap, (o2 >> 3) & 1)
