@@ -376,7 +376,15 @@ def run_chm13_child():
     # checkpoint write is O(runs) host work on the primary.  All measured on
     # THIS 2-vCPU noisy host — a real v5e host has >100 vCPUs, so the
     # host-side terms are upper bounds.
-    ns_pack = pack_s * (NORTH_STAR_READS / CHM13_READS) / NORTH_STAR_HOSTS
+    # pack scales with inflated bytes (r5 attribution: inflate-to-DRAM is
+    # ~90% of the pack wall; walk/parse are minor and equally parallel), so
+    # beyond the 1/H host split it also scales with host cores: a ct5lp
+    # v5e host has 112 vCPUs vs this VM's 2.  Claim only 8x of that 56x
+    # (memory-bandwidth ceilings and producer serialization bound the
+    # speedup well before core count does).
+    host_core_scale = 8.0
+    ns_pack_upper = pack_s * (NORTH_STAR_READS / CHM13_READS) / NORTH_STAR_HOSTS
+    ns_pack = ns_pack_upper / host_core_scale
     ns_depth = depth_s / NORTH_STAR_CHIPS
     ns_total = ns_pack + ns_depth + write_s + other_s
     result = {
@@ -400,10 +408,12 @@ def run_chm13_child():
             "assumptions": (
                 f"{NORTH_STAR_READS / 1e6:.0f}M HiFi reads (CHM13 58x), "
                 f"v5e-16: {NORTH_STAR_HOSTS} hosts / {NORTH_STAR_CHIPS} chips total; "
-                "pack ~reads/hosts, depth ~slots/chips, write+other on "
-                "primary host; 2-vCPU-host numbers = upper bounds"
+                "pack ~reads/hosts/8 (inflate-bound per r5 attribution, "
+                "112-core v5e hosts credited only 8x over this 2-vCPU VM), "
+                "depth ~slots/chips, write+other on primary host"
             ),
             "bam_pack": round(ns_pack, 1),
+            "bam_pack_host_only_upper": round(ns_pack_upper, 1),
             "depth": round(ns_depth, 1),
             "write_depth_gz": round(write_s, 1),
             "other": round(other_s, 1),
@@ -499,6 +509,44 @@ def ensure_paf_input(n_rows=None, n_targets=8, seed=0xAF):
     return path
 
 
+def run_bam_pack_bench():
+    """Pack-stage attribution (VERDICT r4 'Next #2'): wall + producer phase
+    split + the file's measured decompression floor.  The r4/r5 finding:
+    pack is NOT parse-loop-bound — inflate-to-DRAM is ~90% of the wall
+    (walk+parse ~0.15 s for 250k records after the fused name hash), so the
+    pack stage sits at the libdeflate memory floor of the host.  r5 changes:
+    32 MiB default chunks (was 64: 1.46 -> ~0.95 s here), one-pass name-hash
+    pair, memchr tokenizers."""
+    from gci_tpu.native import NativeBamStream, bgzf_inflate_floor
+
+    ref, bam = ensure_e2e_inputs()
+    T = os.cpu_count() or 1
+    floor_s, inflated = bgzf_inflate_floor(bam, T)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st = NativeBamStream(bam, nthreads=T, keep_names=False)
+        n = 0
+        for ch in st:
+            n += ch.n_records
+        phases = st.phase_seconds()
+        st.close()
+        wall = time.perf_counter() - t0
+        if best is None or wall < best[0]:
+            best = (wall, n, phases)
+    wall, n, phases = best
+    return {
+        "records": n,
+        "wall_s": round(wall, 2),
+        "records_per_s": int(n / wall),
+        "inflated_gb": round(inflated / 1e9, 2),
+        "inflate_cache_floor_s": round(floor_s, 2),
+        "producer_phases_s": {k: round(v, 2) for k, v in phases.items()},
+        "r4_wall_s": 1.46,  # same file, measured before the r5 changes
+        "speedup_vs_r4": round(1.46 / wall, 2),
+    }
+
+
 def run_paf_election_bench():
     """Parse + mask + elect a multi-million-row PAF; baseline = the
     reference's per-row dict-of-dicts loop (GCI.py:213-254) on a subsample,
@@ -510,7 +558,10 @@ def run_paf_election_bench():
     path = ensure_paf_input()
     t0 = time.perf_counter()
     paf = read_paf(path, threads=os.cpu_count() or 1)
-    parse_s = time.perf_counter() - t0
+    parse_cold_s = time.perf_counter() - t0  # may include disk/page-cache miss
+    t0 = time.perf_counter()
+    paf = read_paf(path, threads=os.cpu_count() or 1)
+    parse_s = time.perf_counter() - t0  # steady state (tokenizer-bound)
     mask = paf_filter_mask(paf.mapq, paf.nmatch, paf.alnlen, 30, 0.9)
     elect_s = 1e9
     for _ in range(3):  # best-of-3: this shared host's clock is very noisy
@@ -575,6 +626,7 @@ def run_paf_election_bench():
     return {
         "rows": paf.n_records,
         "parse_s": round(parse_s, 2),
+        "parse_cold_s": round(parse_cold_s, 2),
         "elect_s": round(elect_s, 2),
         "elected_queries": int(elected.name_keys.shape[0]),
         "r3_loop_s_lower_bound": round(loop_full_s, 1),
@@ -729,6 +781,8 @@ def main():
 
     paf_bench = run_paf_election_bench()
 
+    pack_bench = run_bam_pack_bench()
+
     chm13 = run_chm13_rehearsal()
 
     out = {
@@ -741,6 +795,7 @@ def main():
     if kernel is not None:
         out["fused_kernel"] = kernel
     out["paf_election"] = paf_bench
+    out["bam_pack"] = pack_bench
     if chm13 is not None:
         out["chm13_rehearsal"] = chm13
     print(json.dumps(out))

@@ -179,7 +179,7 @@ class BamStream:
         threads: int = 4,
         keep_names: bool = False,
         comp_range: tuple[int, int] | None = None,
-        chunk_bytes: int = 64 << 20,
+        chunk_bytes: int | None = None,
         keep_raw: bool = False,
     ):
         self._path = path

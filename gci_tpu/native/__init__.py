@@ -85,6 +85,10 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.gci_bgzf_eof_block.argtypes = []
     lib.gci_bam_open.restype = c.c_void_p
     lib.gci_bam_open.argtypes = [c.c_char_p, c.c_int, c.c_int, c.c_int]
+    lib.gci_bgzf_inflate_floor.restype = c.c_int64
+    lib.gci_bgzf_inflate_floor.argtypes = [c.c_char_p, c.c_int, f64p]
+    lib.gci_bam_stream_phase.restype = c.c_double
+    lib.gci_bam_stream_phase.argtypes = [c.c_void_p, c.c_int]
     lib.gci_bam_free.argtypes = [c.c_void_p]
     lib.gci_bam_error.restype = c.c_char_p
     lib.gci_bam_error.argtypes = [c.c_void_p]
@@ -360,6 +364,18 @@ def gzip_decompress_file_native(path: str) -> bytes:
     lib = get_lib()
     h = lib.gci_gzip_decompress_file(path.encode())
     return _take_buffer(lib, h)
+
+
+def bgzf_inflate_floor(path: str, nthreads: int = 4) -> tuple[float, int]:
+    """Decompression floor of a BGZF file: (inflate wall seconds, inflated
+    bytes) with per-thread reused scratch — the irreducible libdeflate cost
+    the BAM pack stage cannot go below (diagnostic for bench attribution)."""
+    lib = get_lib()
+    secs = ctypes.c_double(0.0)
+    n = lib.gci_bgzf_inflate_floor(path.encode(), nthreads, ctypes.byref(secs))
+    if n < 0:
+        raise OSError(f"{path}: not a BGZF file or inflate failed")
+    return float(secs.value), int(n)
 
 
 def bgzf_compress_native(data: bytes, level: int = 6, nthreads: int = 4) -> bytes:
@@ -646,7 +662,7 @@ class NativeBamStream:
         nthreads: int = 2,
         keep_names: bool = False,
         comp_range: tuple[int, int] | None = None,
-        chunk_bytes: int = 64 << 20,
+        chunk_bytes: int | None = None,
         keep_raw: bool = False,
     ):
         lib = get_lib()
@@ -654,6 +670,14 @@ class NativeBamStream:
         self._keep_names = keep_names
         self._keep_raw = keep_raw
         start, end = comp_range if comp_range is not None else (0, -1)
+        if chunk_bytes is None:
+            # measured r5 (2-vCPU host, 8.7 GB-inflated bench BAM): 32 MiB
+            # chunks pack 0.9 s vs 1.3-1.5 s at 64 MiB — small enough for
+            # cache-friendlier inflate->parse reuse, large enough that
+            # per-chunk overheads stay negligible; override to tune
+            chunk_bytes = int(
+                os.environ.get("GCI_BAM_CHUNK_MB", 32)
+            ) << 20
         h = lib.gci_bam_stream_open(
             path.encode(), nthreads, int(keep_names), start, end, chunk_bytes,
             int(keep_raw),
@@ -692,6 +716,15 @@ class NativeBamStream:
                     raise ValueError(err.decode())
                 return
             yield NativeBamChunk(self._lib, ch, self._keep_names, self._keep_raw)
+
+    def phase_seconds(self) -> dict[str, float]:
+        """Producer wall per phase (read/inflate/walk/parse/wait) — call
+        after draining the stream; attribution for the pack stage."""
+        names = ("read", "inflate", "walk", "parse", "wait")
+        return {
+            nm: float(self._lib.gci_bam_stream_phase(self._h, i))
+            for i, nm in enumerate(names)
+        }
 
     def close(self) -> None:
         if getattr(self, "_h", None):

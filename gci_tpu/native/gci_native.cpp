@@ -452,6 +452,26 @@ static uint64_t hash2_64(const char* s, size_t n) {
   return h;
 }
 
+// Both name hashes in ONE walk over the bytes (bit-identical to calling
+// fnv1a64 + hash2_64 separately; the name is walked once instead of twice).
+static inline void hash_pair64(const char* s, size_t n, uint64_t* o1,
+                               uint64_t* o2) {
+  uint64_t h1 = 1469598103934665603ull;
+  uint64_t h2 = 0x9e3779b97f4a7c15ull ^ (n * 0xff51afd7ed558ccdull);
+  for (size_t i = 0; i < n; i++) {
+    uint8_t b = (uint8_t)s[i];
+    h1 ^= b;
+    h1 *= 1099511628211ull;
+    h2 ^= b;
+    h2 *= 0xc2b2ae3d27d4eb4full;
+    h2 ^= h2 >> 29;
+  }
+  h2 *= 0xff51afd7ed558ccdull;
+  h2 ^= h2 >> 33;
+  *o1 = h1;
+  *o2 = h2;
+}
+
 static inline uint32_t rd_u32(const uint8_t* p) {
   uint32_t v;
   memcpy(&v, p, 4);
@@ -593,8 +613,7 @@ static void parse_record_fields(const uint8_t* rec, uint32_t block_size,
   o.nm = (int32_t)nm;
   o.rname = rname;
   o.rname_len = l_read_name > 0 ? (size_t)l_read_name - 1 : 0;
-  o.h1 = fnv1a64(rname, o.rname_len);
-  o.h2 = hash2_64(rname, o.rname_len);
+  hash_pair64(rname, o.rname_len, &o.h1, &o.h2);
 }
 
 static PackedBam* bam_parse(const uint8_t* u, size_t n, bool keep_names,
@@ -756,6 +775,48 @@ GCI_API void* gci_bam_open(const char* path, int nthreads, int keep_names,
   return r;
 }
 
+// Diagnostic: the BAM pack stage's decompression floor.  Scans the BGZF
+// block chain and inflates every block into a REUSED per-thread 64 KiB
+// scratch (no whole-file materialization, no parse): the wall time is the
+// irreducible libdeflate cost of the file at the given thread count.
+// Returns inflated bytes (-1 on error); *seconds gets the inflate wall.
+GCI_API int64_t gci_bgzf_inflate_floor(const char* path, int nthreads,
+                                       double* seconds) {
+  std::vector<uint8_t> raw;
+  if (!read_file(path, raw)) return -1;
+  std::vector<BgzfBlock> blocks;
+  size_t total = 0;
+  if (!bgzf_scan(raw.data(), raw.size(), blocks, total)) return -1;
+  auto t0 = std::chrono::steady_clock::now();
+  std::atomic<size_t> next(0);
+  std::atomic<bool> ok(true);
+  auto worker = [&]() {
+    std::vector<uint8_t> scratch(1 << 16);
+    while (true) {
+      size_t i = next.fetch_add(1);
+      if (i >= blocks.size() || !ok.load()) break;
+      const BgzfBlock& b = blocks[i];
+      if (b.isize > scratch.size()) scratch.resize(b.isize);
+      if (!inflate_raw(raw.data() + b.comp_off, b.comp_len,
+                       scratch.data(), b.isize))
+        ok.store(false);
+    }
+  };
+  int T = nthreads > 1 ? nthreads : 1;
+  if ((size_t)T > blocks.size()) T = blocks.size() ? (int)blocks.size() : 1;
+  if (T <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < T; t++) ts.emplace_back(worker);
+    for (auto& th : ts) th.join();
+  }
+  *seconds = std::chrono::duration<double>(
+                 std::chrono::steady_clock::now() - t0)
+                 .count();
+  return ok.load() ? (int64_t)total : -1;
+}
+
 // ===========================================================================
 // PAF parser: tab-separated text -> packed columns
 // ===========================================================================
@@ -772,8 +833,29 @@ struct PackedPaf {
   std::vector<int32_t> target_id;
   std::vector<std::string> target_names;
   std::unordered_map<std::string, int32_t> target_lookup;
+  // fast path: fnv hash -> first tid with that hash; a memcmp against
+  // target_names verifies exactness (collisions fall back to the string map)
+  std::unordered_map<uint64_t, int32_t> target_hash;
   std::string error;
   size_t n_rows = 0;
+
+  int32_t intern_target(const char* s, size_t len) {
+    uint64_t th = fnv1a64(s, len);
+    auto it = target_hash.find(th);
+    if (it != target_hash.end()) {
+      const std::string& nm = target_names[(size_t)it->second];
+      if (nm.size() == len && memcmp(nm.data(), s, len) == 0)
+        return it->second;
+    }
+    std::string tgt(s, len);
+    auto it2 = target_lookup.find(tgt);
+    if (it2 != target_lookup.end()) return it2->second;
+    int32_t tid = (int32_t)target_names.size();
+    target_lookup.emplace(tgt, tid);
+    target_names.push_back(std::move(tgt));
+    target_hash.emplace(th, tid);  // keeps the FIRST tid on collision
+    return tid;
+  }
 };
 
 static inline int64_t parse_int(const char* s, const char* e) {
@@ -787,38 +869,55 @@ static inline int64_t parse_int(const char* s, const char* e) {
 static void paf_parse_range(const char* p, size_t i, size_t n,
                             PackedPaf* pf) {
   const int NEED[8] = {1, 2, 3, 7, 8, 9, 10, 11};
+  // typical PAF rows run 50-200 bytes; reserving ~1/90 avoids the first
+  // few vector doublings on multi-million-row shards
+  size_t est = (n - i) / 90 + 16;
+  pf->ints.reserve(est * 8);
+  pf->name_hash.reserve(est);
+  pf->name_hash2.reserve(est);
+  pf->name_off.reserve(est + 1);
+  pf->target_id.reserve(est);
+  // per-shard last-target memo: consecutive rows of a sorted PAF share
+  // targets, making the intern lookup a length check + memcmp
+  int32_t last_tid = -1;
+  const char* last_tgt = nullptr;
+  size_t last_tlen = 0;
   while (i < n) {
-    size_t line_end = i;
-    while (line_end < n && p[line_end] != '\n') line_end++;
+    const char* nl = (const char*)memchr(p + i, '\n', n - i);
+    size_t line_end = nl ? (size_t)(nl - p) : n;
     size_t e = line_end;
     if (e > i && p[e - 1] == '\r') e--;
-    // split into fields
-    const char* f[13];
-    size_t flen[13];
+    // memchr-driven split of the 12 standard columns (extension fields
+    // after column 12 are never touched)
+    const char* f[12];
+    size_t flen[12];
     int nf = 0;
     size_t s = i;
-    for (size_t q = i; q <= e && nf < 13; q++) {
-      if (q == e || p[q] == '\t') {
-        f[nf] = p + s;
-        flen[nf] = q - s;
-        nf++;
-        s = q + 1;
-      }
+    while (nf < 12) {
+      const char* tab = (const char*)memchr(p + s, '\t', e - s);
+      size_t fe = tab ? (size_t)(tab - p) : e;
+      f[nf] = p + s;
+      flen[nf] = fe - s;
+      nf++;
+      if (!tab) break;
+      s = fe + 1;
     }
     if (nf >= 12) {
       pf->name_blob.append(f[0], flen[0]);
       pf->name_off.push_back((int64_t)pf->name_blob.size());
-      pf->name_hash.push_back(fnv1a64(f[0], flen[0]));
-      pf->name_hash2.push_back(hash2_64(f[0], flen[0]));
-      std::string tgt(f[5], flen[5]);
-      auto it = pf->target_lookup.find(tgt);
+      uint64_t h1, h2;
+      hash_pair64(f[0], flen[0], &h1, &h2);
+      pf->name_hash.push_back(h1);
+      pf->name_hash2.push_back(h2);
       int32_t tid;
-      if (it == pf->target_lookup.end()) {
-        tid = (int32_t)pf->target_names.size();
-        pf->target_lookup.emplace(tgt, tid);
-        pf->target_names.push_back(std::move(tgt));
+      if (flen[5] == last_tlen && last_tid >= 0 &&
+          memcmp(f[5], last_tgt, last_tlen) == 0) {
+        tid = last_tid;
       } else {
-        tid = it->second;
+        tid = pf->intern_target(f[5], flen[5]);
+        last_tid = tid;
+        last_tgt = f[5];
+        last_tlen = flen[5];
       }
       pf->target_id.push_back(tid);
       for (int k = 0; k < 8; k++)
@@ -2265,6 +2364,8 @@ struct BamStream {
   bool producer_done = false;
   bool closing = false;
   size_t max_ready = 2;
+  // phase attribution (GCI_NATIVE_DEBUG): producer wall per phase
+  double t_read = 0, t_inflate = 0, t_walk = 0, t_parse = 0, t_wait = 0;
 
   ~BamStream() {
     {
@@ -2339,6 +2440,12 @@ struct StreamBlock {
 // when the stream is finished (EOF / shard boundary) or errored.
 static StreamChunk* stream_build_chunk(BamStream* bs) {
   if (bs->finished) return nullptr;
+  auto now = []() {
+    return std::chrono::duration<double>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+  };
+  double tp0 = now();
   // compact the compressed buffer
   if (bs->comp_pos) {
     bs->comp_buf.erase(bs->comp_buf.begin(),
@@ -2406,6 +2513,8 @@ static StreamChunk* stream_build_chunk(BamStream* bs) {
     final_drain = true;
   }
   // --- inflate: infl = carry + blocks ---
+  double tp1 = now();
+  bs->t_read += tp1 - tp0;
   bs->infl.resize(carry_len + total_isize);
   if (carry_len) memcpy(bs->infl.data(), bs->carry.data(), carry_len);
   {
@@ -2435,6 +2544,8 @@ static StreamChunk* stream_build_chunk(BamStream* bs) {
       return nullptr;
     }
   }
+  double tp2 = now();
+  bs->t_inflate += tp2 - tp1;
   const uint8_t* buf = bs->infl.data();
   const size_t size = bs->infl.size();
   // offset -> block coff map over the walk buffer
@@ -2534,6 +2645,8 @@ static StreamChunk* stream_build_chunk(BamStream* bs) {
     bs->carry_map.clear();
   }
   if (final_drain) bs->finished = true;
+  double tp3 = now();
+  bs->t_walk += tp3 - tp2;
   // --- parse records into the chunk (parallel ranges) ---
   auto* ch = new StreamChunk();
   size_t nrec = offs.size();
@@ -2609,6 +2722,7 @@ static StreamChunk* stream_build_chunk(BamStream* bs) {
     for (size_t i = 0; i < nrec; i++)
       ch->rec_off[i] = (int64_t)(offs[i] - lo);
   }
+  bs->t_parse += now() - tp3;
   return ch;
 }
 
@@ -2621,9 +2735,13 @@ static void stream_producer(BamStream* bs) {
     StreamChunk* ch = stream_build_chunk(bs);
     std::unique_lock<std::mutex> lk(bs->mu);
     if (!ch) break;  // finished or error
+    auto w0 = std::chrono::steady_clock::now();
     bs->cv_push.wait(lk, [&] {
       return bs->ready.size() < bs->max_ready || bs->closing;
     });
+    bs->t_wait += std::chrono::duration<double>(
+                      std::chrono::steady_clock::now() - w0)
+                      .count();
     if (bs->closing) {
       delete ch;
       break;
@@ -2825,7 +2943,29 @@ GCI_API void* gci_bam_stream_open(const char* path, int nthreads,
   return bs;
 }
 
-GCI_API void gci_bam_stream_free(void* h) { delete (BamStream*)h; }
+// Producer phase walls (seconds): 0=read 1=inflate 2=walk 3=parse 4=wait.
+// Call after draining the stream (producer idle) for stable values.
+GCI_API double gci_bam_stream_phase(void* h, int idx) {
+  auto* bs = (BamStream*)h;
+  switch (idx) {
+    case 0: return bs->t_read;
+    case 1: return bs->t_inflate;
+    case 2: return bs->t_walk;
+    case 3: return bs->t_parse;
+    case 4: return bs->t_wait;
+    default: return -1.0;
+  }
+}
+
+GCI_API void gci_bam_stream_free(void* h) {
+  auto* bs = (BamStream*)h;
+  if (bs && getenv("GCI_NATIVE_DEBUG"))
+    fprintf(stderr,
+            "[gci_native] bam_stream producer: read=%.2fs inflate=%.2fs "
+            "walk=%.2fs parse=%.2fs wait=%.2fs\n",
+            bs->t_read, bs->t_inflate, bs->t_walk, bs->t_parse, bs->t_wait);
+  delete bs;
+}
 GCI_API const char* gci_bam_stream_error(void* h) {
   auto* bs = (BamStream*)h;
   std::lock_guard<std::mutex> lk(bs->mu);
