@@ -2615,10 +2615,19 @@ static StreamChunk* stream_build_chunk(BamStream* bs) {
   offs.reserve(total_isize / 300 + 8);
   size_t p = walk_start;
   size_t leftover = size;
+  // ownership cut: a record is ours iff its block's coff < coff_limit.
+  // Compare against coff_limit DIRECTLY (not stop_block_coff): when the
+  // header read already consumed the block holding the first records, the
+  // gather loop never sees that block, and stop_block_coff would be first
+  // set at EOF — letting another shard's carried records leak into this
+  // one (caught by test_four_process_zero_record_shard: double-packed
+  // records masked downstream only by the name dedup).
+  const int64_t stop_at =
+      bs->coff_limit >= 0 ? bs->coff_limit : bs->stop_block_coff;
   while (p + 4 <= size) {
     uint32_t block_size = rd_u32(buf + p);
     if (p + 4ull + block_size > size) break;  // partial record -> carry
-    if (bs->stop_block_coff >= 0 && coff_of(p) >= bs->stop_block_coff) {
+    if (stop_at >= 0 && coff_of(p) >= stop_at) {
       bs->finished = true;
       leftover = size;  // discard the rest: it belongs to the next shard
       p = size;
