@@ -70,12 +70,21 @@ def read_paf(
     path: str,
     threads: int = 2,
     byte_range: tuple[int, int] | None = None,
+    shard: tuple[int, int] | None = None,
 ) -> PafData:
-    """Parse a PAF file (native C++ fast path, Python fallback)."""
+    """Parse a PAF file (native C++ fast path, Python fallback).
+
+    ``shard=(h, H)`` parses host h's [n*h/H, n*(h+1)/H) line range of the
+    UNCOMPRESSED bytes — valid for .paf and .paf.gz alike (gzip has no
+    random access, so every host still inflates the whole stream, but the
+    tokenize — the expensive part — splits H ways; ranges computed
+    post-inflate agree on every host, so shards partition the rows).
+    """
     try:
         from gci_tpu.native import NativePaf
 
-        np_ = NativePaf(path, nthreads=threads, byte_range=byte_range)
+        np_ = NativePaf(path, nthreads=threads, byte_range=byte_range,
+                        shard=shard)
         ints = np_.ints
         return PafData(
             _names=None,
@@ -94,11 +103,13 @@ def read_paf(
             _name_offsets=np_.name_offsets,
         )
     except (ImportError, OSError):
-        return _read_paf_python(path, byte_range)
+        return _read_paf_python(path, byte_range, shard)
 
 
 def _read_paf_python(
-    path: str, byte_range: tuple[int, int] | None = None
+    path: str,
+    byte_range: tuple[int, int] | None = None,
+    shard: tuple[int, int] | None = None,
 ) -> PafData:
     names: list[bytes] = []
     tids: list[int] = []
@@ -111,19 +122,37 @@ def _read_paf_python(
         opener = gzip.open
     else:
         opener = open
-    with opener(path, "rb") as f:
-        if byte_range is not None:
-            lo, hi = byte_range
-            if lo > 0:
-                f.seek(lo - 1)
-                f.readline()  # skip the partial line (owned by the previous shard)
-            data = f.read(max(hi - f.tell(), 0))
-            # the shard owns every line *starting* before hi: finish the
-            # last line if the range cut it mid-line
-            tail = f.readline() if data and data[-1:] != b"\n" else b""
-            lines = (data + tail).splitlines()
-        else:
-            lines = f.read().splitlines()
+    if shard is not None:
+        h, H = shard
+        with opener(path, "rb") as f:
+            data = f.read()
+        if H > 1:
+            lo = len(data) * h // H
+            hi = len(data) * (h + 1) // H if h < H - 1 else len(data)
+            s0 = lo
+            if s0 > 0:
+                nl = data.find(b"\n", s0 - 1)
+                s0 = nl + 1 if nl >= 0 else len(data)
+            e0 = hi
+            if e0 > s0 and e0 < len(data) and data[e0 - 1: e0] != b"\n":
+                nl = data.find(b"\n", e0)
+                e0 = nl + 1 if nl >= 0 else len(data)
+            data = data[s0:e0] if s0 < e0 else b""
+        lines = data.splitlines()
+    else:
+        with opener(path, "rb") as f:
+            if byte_range is not None:
+                lo, hi = byte_range
+                if lo > 0:
+                    f.seek(lo - 1)
+                    f.readline()  # partial line: owned by the previous shard
+                data = f.read(max(hi - f.tell(), 0))
+                # the shard owns every line *starting* before hi: finish the
+                # last line if the range cut it mid-line
+                tail = f.readline() if data and data[-1:] != b"\n" else b""
+                lines = (data + tail).splitlines()
+            else:
+                lines = f.read().splitlines()
     for line in lines:
         p = line.rstrip(b"\r").split(b"\t")
         if len(p) < 12:

@@ -116,6 +116,8 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.gci_bgzf_compress.argtypes = [u8p, c.c_int64, c.c_int, c.c_int]
     lib.gci_paf_open.restype = c.c_void_p
     lib.gci_paf_open.argtypes = [c.c_char_p, c.c_int, c.c_int64, c.c_int64]
+    lib.gci_paf_open_shard.restype = c.c_void_p
+    lib.gci_paf_open_shard.argtypes = [c.c_char_p, c.c_int, c.c_int, c.c_int]
     lib.gci_paf_free.argtypes = [c.c_void_p]
     lib.gci_paf_num_rows.restype = c.c_int64
     lib.gci_paf_num_rows.argtypes = [c.c_void_p]
@@ -403,10 +405,19 @@ class NativePaf:
         path: str,
         nthreads: int = 2,
         byte_range: tuple[int, int] | None = None,
+        shard: tuple[int, int] | None = None,
     ):
         lib = get_lib()
-        lo, hi = byte_range if byte_range is not None else (-1, -1)
-        h = lib.gci_paf_open(path.encode(), nthreads, lo, hi)
+        if shard is not None:
+            # host h of H: the [n*h/H, n*(h+1)/H) line range of the
+            # UNCOMPRESSED bytes — works for .paf and .paf.gz alike (gz
+            # inflates whole on every host; only the tokenize shards)
+            h = lib.gci_paf_open_shard(
+                path.encode(), nthreads, shard[0], shard[1]
+            )
+        else:
+            lo, hi = byte_range if byte_range is not None else (-1, -1)
+            h = lib.gci_paf_open(path.encode(), nthreads, lo, hi)
         if not h:
             raise OSError(f"cannot read PAF file: {path}")
         try:

@@ -989,24 +989,10 @@ static PackedPaf* paf_parse(const char* p, size_t n, int nthreads) {
 
 }  // namespace
 
-// lo/hi < 0: whole file.  Otherwise parse exactly the lines whose FIRST byte
-// lies in [lo, hi) of the (uncompressed) file — the per-host input shard for
-// a shared PAF (ranges partition the row stream with no overlap or loss,
-// mirroring the BAM comp_range mechanism).  Gzipped PAFs don't support
-// ranges (no random access); the caller detects .gz and skips sharding.
-GCI_API void* gci_paf_open(const char* path, int nthreads, int64_t lo,
-                           int64_t hi) {
-  std::vector<uint8_t> raw;
-  if (!read_file(path, raw)) return nullptr;
-  std::vector<uint8_t> un;
-  const char* p = (const char*)raw.data();
-  size_t n = raw.size();
-  if (n >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
-    if (lo >= 0 || hi >= 0) return nullptr;  // range + gzip unsupported
-    if (!gzip_inflate_all(raw.data(), n, un)) return nullptr;
-    p = (const char*)un.data();
-    n = un.size();
-  }
+// Parse only the lines whose FIRST byte lies in [lo, hi) of the buffer
+// (lo/hi < 0 = unbounded); ranges partition the row stream exactly.
+static void* paf_parse_sliced(const char* p, size_t n, int64_t lo, int64_t hi,
+                              int nthreads) {
   if (lo < 0 && hi < 0) return paf_parse(p, n, nthreads);
   if (lo < 0) lo = 0;
   if (hi < 0 || hi > (int64_t)n) hi = (int64_t)n;
@@ -1029,6 +1015,53 @@ GCI_API void* gci_paf_open(const char* path, int nthreads, int64_t lo,
     return pf;
   }
   return paf_parse(p + s, e - s, nthreads);
+}
+
+// lo/hi < 0: whole file.  Otherwise parse exactly the lines whose FIRST byte
+// lies in [lo, hi) of the (uncompressed) file — the per-host input shard for
+// a shared PAF (ranges partition the row stream with no overlap or loss,
+// mirroring the BAM comp_range mechanism).  Gzipped PAFs don't support
+// caller-computed byte ranges (the uncompressed size is unknown before
+// inflating); use gci_paf_open_shard for those.
+GCI_API void* gci_paf_open(const char* path, int nthreads, int64_t lo,
+                           int64_t hi) {
+  std::vector<uint8_t> raw;
+  if (!read_file(path, raw)) return nullptr;
+  std::vector<uint8_t> un;
+  const char* p = (const char*)raw.data();
+  size_t n = raw.size();
+  if (n >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
+    if (lo >= 0 || hi >= 0) return nullptr;  // range + gzip unsupported
+    if (!gzip_inflate_all(raw.data(), n, un)) return nullptr;
+    p = (const char*)un.data();
+    n = un.size();
+  }
+  return paf_parse_sliced(p, n, lo, hi, nthreads);
+}
+
+// Host h of H's input shard: the [n*h/H, n*(h+1)/H) line range of the
+// UNCOMPRESSED bytes.  Works for plain AND gzipped PAFs: gzip has no random
+// access, so every host still inflates the whole member chain (the cheap
+// part — libdeflate at GB/s), but tokenizes only ~1/H of the rows (the
+// expensive part).  Ranges computed post-inflate are identical on every
+// host, so the shards partition the row stream exactly.
+GCI_API void* gci_paf_open_shard(const char* path, int nthreads, int h,
+                                 int H) {
+  std::vector<uint8_t> raw;
+  if (!read_file(path, raw)) return nullptr;
+  std::vector<uint8_t> un;
+  const char* p = (const char*)raw.data();
+  size_t n = raw.size();
+  if (n >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
+    if (!gzip_inflate_all(raw.data(), n, un)) return nullptr;
+    p = (const char*)un.data();
+    n = un.size();
+  }
+  if (H <= 1) return paf_parse(p, n, nthreads);
+  int64_t lo = (int64_t)(n * (uint64_t)h / (uint64_t)H);
+  int64_t hi = h == H - 1 ? (int64_t)n
+                          : (int64_t)(n * (uint64_t)(h + 1) / (uint64_t)H);
+  return paf_parse_sliced(p, n, lo, hi, nthreads);
 }
 
 GCI_API void gci_paf_free(void* h) { delete (PackedPaf*)h; }

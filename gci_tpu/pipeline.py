@@ -180,11 +180,13 @@ def run_filter(
     curation_inputs: list[CurationInput] = []
 
     # --- PAF branch (GCI.py:213-254): cumulative election across files.
-    # Multi-host: each process parses only its byte range of every shared
-    # plain-text PAF (gzipped PAFs have no random access and parse whole);
-    # the masked candidate columns are tiny and reconcile by allgather in
-    # process order == file row order, so the cumulative first-inserted
-    # election semantics are exactly the single-process ones.
+    # Multi-host: each process tokenizes only its 1/H line range of every
+    # shared PAF — for .paf.gz every host still inflates the whole stream
+    # (gzip has no random access; libdeflate inflates at GB/s) but the
+    # tokenize, the expensive part, splits H ways over the uncompressed
+    # bytes.  The masked candidate columns are tiny and reconcile by
+    # allgather in process order == file row order, so the cumulative
+    # first-inserted election semantics are exactly the single-process ones.
     if paf_files:
         from gci_tpu.io.paf import PafData
 
@@ -192,10 +194,12 @@ def run_filter(
         paf_masked = []
         for path in paf_files:
             with stage(f"{log_reads_type}:paf_parse:{path}") as paf_stage:
-                byte_range = None
-                if multihost and not path.endswith(".gz"):
-                    byte_range = input_comp_range(path)
-                paf = read_paf(path, threads=threads, byte_range=byte_range)
+                shard = None
+                if multihost:
+                    import jax
+
+                    shard = (jax.process_index(), jax.process_count())
+                paf = read_paf(path, threads=threads, shard=shard)
                 paf_stage.items = paf.n_records
                 paf_stage.unit = "rows"
                 # map this file's target table onto the pipeline's; unknown
@@ -217,7 +221,7 @@ def run_filter(
                     paf.tstart[idx], paf.tend[idx],
                     paf.nmatch[idx], paf.alnlen[idx], paf.mapq[idx],
                 ]
-                if multihost and byte_range is not None:
+                if shard is not None:
                     cols = allgather_concat(cols)
                 keys, gtid_m, qlen, qs, qe, ts, te, nmatch, alnlen, mapq = cols
                 cand = PafData(

@@ -36,6 +36,7 @@ def make_bam(path, references, lengths, reads):
                 flag=rd.get("flag", 0),
                 nm=rd.get("nm", 0),
                 seq_len=rd.get("seq_len"),
+                seq=rd.get("seq"),
             )
         )
     # coordinate order like a sorted BAM

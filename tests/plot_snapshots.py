@@ -78,6 +78,38 @@ def render_canonical_figures(directory: str) -> dict[str, str]:
         force=True,
     )
     out["events.cA"] = os.path.join(d3, "images", "E.cA.png")
+
+    # bamsnap-style alignment snapshot: reference base track + strand-
+    # colored pileup + red mismatch ticks (gci_tpu.viz.snap)
+    from gci_tpu.viz.snap import snapshot_regions
+    from tests.fixtures import make_bam, make_fasta
+
+    d4 = os.path.join(directory, "snap")
+    os.makedirs(d4, exist_ok=True)
+    ref_seq = "".join(rng.choice(list("ACGT"), size=400))
+    make_fasta(os.path.join(d4, "ref.fa"), [("cS", ref_seq)])
+    reads = []
+    for k in range(14):
+        pos = int(rng.integers(0, 250))
+        seq = "".join(rng.choice(list("ACGT"), size=100))
+        reads.append(
+            dict(name=f"s{k}", ref="cS", pos=pos, mapq=60, cigar="100M",
+                 nm=0, flag=16 if k % 3 == 0 else 0, seq_len=100)
+        )
+    bam = os.path.join(d4, "s.bam")
+    make_bam(bam, ["cS"], [400], reads)
+    # panel titles embed the given paths: render from inside d4 with
+    # relative names so the hash is independent of the temp directory
+    cwd = os.getcwd()
+    os.chdir(d4)
+    try:
+        snapshot_regions(
+            ["s.bam"], ["s.bam"], "ref.fa", ["cS:50-350"],
+            directory=".", prefix="SNAP", force=True,
+        )
+    finally:
+        os.chdir(cwd)
+    out["snap.region"] = os.path.join(d4, "SNAP.png")
     return out
 
 

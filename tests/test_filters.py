@@ -336,3 +336,35 @@ def test_paf_byte_range_sharding_partitions_rows(tmp_path):
     np.testing.assert_array_equal(
         np.concatenate([s.name_keys for s in py]), full.name_keys
     )
+
+
+def test_paf_shard_partitions_rows_plain_and_gz(tmp_path):
+    """shard=(h, H) partitions the row stream exactly — plain AND gzipped
+    (VERDICT r4 'Next #7': gz PAFs shard the tokenize over the uncompressed
+    bytes; inflate is per-host but the expensive part splits)."""
+    import gzip
+
+    from gci_tpu.io.paf import _read_paf_python
+
+    rows = [
+        (f"q{i}", 100, 0, 100, "+", f"t{i % 5}", 9000, 0, 100, 95, 100, 60)
+        for i in range(457)
+    ]
+    p = str(tmp_path / "s.paf")
+    make_paf(p, rows)
+    pgz = str(tmp_path / "s.paf.gz")
+    with open(p, "rb") as f:
+        with gzip.open(pgz, "wb") as g:
+            g.write(f.read())
+    for path in (p, pgz):
+        full = read_paf(path)
+        for H in (2, 3, 5):
+            shards = [read_paf(path, shard=(h, H)) for h in range(H)]
+            assert sum(s.n_records for s in shards) == 457
+            names = [n for s in shards for n in s.names]
+            assert names == full.names  # no loss, no overlap, order kept
+            # the pure-python fallback partitions identically
+            assert sum(
+                _read_paf_python(path, shard=(h, H)).n_records
+                for h in range(H)
+            ) == 457

@@ -178,10 +178,16 @@ def test_two_process_overwrite_block_exits_everywhere(tmp_path):
         assert b"exists" in out and b"--force" in out, out[-2000:]
 
 
-def test_two_process_dual_type_with_paf_matches_single_process(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("gz_paf", [False, True])
+def test_two_process_dual_type_with_paf_matches_single_process(tmp_path, gz_paf):
     """Dual-type (HiFi BAM+PAF curation, ONT BAM) under 2 processes with
     per-host input sharding: all checkpoint/report files byte-identical to
-    a single-process events run (VERDICT r2 items 2+5)."""
+    a single-process events run (VERDICT r2 items 2+5).  With gz_paf the
+    shared PAF is GZIPPED: each host inflates whole but tokenizes only its
+    line shard (VERDICT r4 'Next #7')."""
     rng = np.random.default_rng(0xD159)
     ref = str(tmp_path / "ref.fa")
     recs = []
@@ -216,6 +222,13 @@ def test_two_process_dual_type_with_paf_matches_single_process(tmp_path):
         )
     paf = str(tmp_path / "hifi.paf")
     make_paf(paf, rows)
+    if gz_paf:
+        import gzip as _gzip
+
+        pgz = str(tmp_path / "hifi.paf.gz")
+        with open(paf, "rb") as f_in, _gzip.open(pgz, "wb") as f_out:
+            f_out.write(f_in.read())
+        paf = pgz
 
     regions = str(tmp_path / "regions.bed")
     with open(regions, "w") as f:

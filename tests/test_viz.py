@@ -168,3 +168,50 @@ def test_rendered_figures_match_snapshots(tmp_path):
     )
     # the event-space render must stay bit-identical to the array render
     assert got["events.cA"] == got["single.cA"]
+
+
+def test_snapshot_mismatch_ticks_and_ref_track(tmp_path):
+    """bamsnap-detail parity (VERDICT r4 'Next #9'): the mismatch walk
+    returns exactly the reference positions where SEQ differs (M/X compared,
+    '=' trusted, I/S skip query, D/N skip reference), and the rendered
+    figure carries the reference base track."""
+    import numpy as np
+
+    from gci_tpu.io.bam_writer import build_record
+    from gci_tpu.viz.snap import _mismatch_xs, snapshot_regions
+    from tests.fixtures import make_bam, make_fasta
+
+    # reference: ACGT repeated; read at pos 10, seq chosen to mismatch at
+    # read offsets 2 and 5 within a 10M block -> ref positions 12 and 15
+    ref_seq = ("ACGT" * 25)
+    rec = build_record(
+        "r1", 0, 10, 60, "10M", nm=2,
+        seq="GT" + "A" + "TA" + "G" + "TGTA",  # ref[10:20] = GTACGTACGT
+    )
+    rseq = np.frombuffer(ref_seq.encode(), np.uint8)
+    xs = _mismatch_xs(rec[4:], rseq)
+    want = [
+        10 + k for k in range(10)
+        if ("GTATAGTGTA"[k] != "GTACGTACGT"[k])
+    ]
+    assert xs.tolist() == want
+    # insertion/deletion bookkeeping: 3M2I3M2D2M consumes q=3+2+3+2, r=3+3+2+2
+    # q = ACG | TT(ins) | TAG | (2D) | AC ; ref = ACG TAC [GT deleted] AC
+    # M1 ACG==ACG; M2 TAG vs TAC -> mismatch at ref pos 5 only;
+    # M3 AC==ref[8:10] AC (the deletion advanced the reference cursor)
+    rec2 = build_record("r2", 0, 0, 60, "3M2I3M2D2M", nm=4, seq="ACGTTTAGAC")
+    xs2 = _mismatch_xs(rec2[4:], rseq)
+    assert xs2.tolist() == [5]
+
+    # e2e: figure renders with the reference track + ticks
+    make_fasta(str(tmp_path / "ref.fa"), [("chrA", ref_seq)])
+    make_bam(
+        str(tmp_path / "in.bam"), ["chrA"], [100],
+        [dict(name="r1", ref="chrA", pos=10, mapq=60, cigar="10M", nm=2)],
+    )
+    snapshot_regions(
+        [str(tmp_path / "in.bam")], [str(tmp_path / "in.bam")],
+        str(tmp_path / "ref.fa"), ["chrA:0-100"],
+        directory=str(tmp_path), prefix="snapx", force=True,
+    )
+    assert (tmp_path / "snapx.png").exists()
