@@ -170,6 +170,41 @@ def windowed_stats(
     return np.concatenate(means), np.concatenate(starts), np.concatenate(ends)
 
 
+def merge_consecutive_windows(
+    positions: np.ndarray, depths: np.ndarray
+) -> tuple[list[tuple[int, int]], list[float]]:
+    """Merge runs of windows whose depth stays within 0.1 of the RUN-START
+    value (depth_plotter_v2.py:236-266).
+
+    Library-surface parity only: the reference defines this method but its
+    drawing path never calls it (depth_plotter_v2.py:605 draws one bar per
+    window from the raw windowed stats, as `plot_sequence_v2` here does) —
+    see PARITY.md.  The anchor semantics are the reference's: each window
+    compares against the run's FIRST depth, so slow drift only breaks a
+    run once it accumulates past 0.1.
+    """
+    positions = np.asarray(positions)
+    depths = np.asarray(depths)
+    if depths.size == 0:
+        return [], []
+    regions: list[tuple[int, int]] = []
+    vals: list[float] = []
+    cur_start = positions[0]
+    cur_depth = depths[0]
+    cur_end = positions[0]
+    for i in range(1, depths.shape[0]):
+        if abs(depths[i] - cur_depth) < 0.1:
+            cur_end = positions[i]
+        else:
+            regions.append((cur_start, cur_end))
+            vals.append(float(cur_depth))
+            cur_start = cur_end = positions[i]
+            cur_depth = depths[i]
+    regions.append((cur_start, cur_end))
+    vals.append(float(cur_depth))
+    return regions, vals
+
+
 def depth_region_masks(depths: np.ndarray, min_safe_depth: int) -> dict:
     """zero / low region lists (depth_plotter_v2.py:382-397)."""
     if depths.size == 0:

@@ -125,3 +125,22 @@ def test_synchronized_reader_early_exit(tmp_path, rng):
     # single-file mode
     reader = SynchronizedDepthReader(hifi_file=ph)
     assert [s for s, _, _ in reader.read_sequences()] == list("abcd")
+
+
+def test_merge_consecutive_windows_anchor_semantics():
+    """Reference depth_plotter_v2.py:236-266 — NOTE it is dead code there
+    (defined, never called by the drawing path); kept for library-surface
+    parity.  Anchor semantics: windows compare against the run's FIRST
+    depth, so drifting +0.06/window breaks the run only at cumulative 0.1."""
+    import numpy as np
+
+    from gci_tpu.viz.plotter_v2 import merge_consecutive_windows
+
+    pos = np.array([0, 10, 20, 30, 40])
+    dep = np.array([1.00, 1.06, 1.12, 1.18, 2.0])
+    # run1 anchor 1.00: 1.06 in (<0.1), 1.12 out -> run ends at 10
+    # run2 anchor 1.12: 1.18 in, 2.0 out; run3 = [40]
+    regions, vals = merge_consecutive_windows(pos, dep)
+    assert regions == [(0, 10), (20, 30), (40, 40)]
+    assert vals == [1.00, 1.12, 2.0]
+    assert merge_consecutive_windows(np.array([]), np.array([])) == ([], [])
