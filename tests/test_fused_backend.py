@@ -230,3 +230,32 @@ def test_device_chrs_and_paf_curation_matches_events(inputs, tmp_path):
     run_gci(directory=d_ev, depth_backend="events", **kw)
     run_gci(directory=d_dv, depth_backend="device", **kw)
     _diff_outputs(d_ev, d_dv, ["C.depth.gz", "C.0.depth.bed", "C.gci"])
+
+
+def test_fallback_flags_kernel_path_equals_packed(rng, monkeypatch):
+    """The >2^29-reads guard routes from_reads onto the r4 flags kernel
+    (gci_tpu.depth.fused._fused_fn) — force it with a tiny limit and assert
+    it produces the same depth/edges/events as the packed production path."""
+    import gci_tpu.depth.fused as fused
+
+    layout = GenomeLayout.from_targets({"a": 5000, "b": 3000})
+    n = 300
+    tid = rng.integers(0, 2, n).astype(np.int32)
+    start = rng.integers(0, 2500, n).astype(np.int64)
+    end = start + rng.integers(40, 900, n)
+    gaps = {"a": [(100, 220)], "b": [(0, 64)]}
+
+    packed = DeviceDepth.from_reads(layout, tid, start, end, 15, gaps=gaps)
+    monkeypatch.setattr(fused, "PACKED_DEPTH_LIMIT", 1)
+    fallback = DeviceDepth.from_reads(layout, tid, start, end, 15, gaps=gaps)
+    assert fallback.gap_bit == 1 and packed.gap_bit == 8
+
+    for t, a in packed.materialize_dict().items():
+        np.testing.assert_array_equal(a, fallback.materialize_dict()[t])
+    assert packed.collapse_dict(-1, 0, 15) == fallback.collapse_dict(-1, 0, 15)
+    pm, fm = packed.mask_gaps(gaps), fallback.mask_gaps(gaps)
+    assert pm.collapse_dict(-1, 0, 15) == fm.collapse_dict(-1, 0, 15)
+    for t, ev in pm.to_events().items():
+        np.testing.assert_array_equal(
+            ev.materialize(), fm.to_events()[t].materialize()
+        )
