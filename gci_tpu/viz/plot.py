@@ -207,6 +207,58 @@ def pre_plot(
     return averaged_dicts, y_frac, y_min, y_max
 
 
+# mirror-plot visual identity (GCI.py:742-834: the rendered figures must be
+# pixel-identical to the reference's, so these constants — colors, widths,
+# zorders, legend geometry — are its contract, pinned by the snapshot test)
+_TYPE_COLORS = ("#2ca25f", "#3C5488")  # HiFi up, Nano down
+_TYPE_SIGNS = (1, -1)
+_LOW_COLOR, _ZERO_COLOR = "#B7DBEA", "#FAD7DD"
+_MEAN_LINE = dict(color="r", ls="-.", dash_capstyle="butt", lw=1)
+
+
+def _issue_bands(depths, mean_depth, threshold, depth_min, dist_percent,
+                 start, end):
+    """(low_bed, zero_bed) issue bands for one read type, distance-merged.
+
+    Band definitions follow the shading rules: ``low`` is depth in
+    (threshold, depth_min*mean], ``zero`` is depth in (-1, threshold].
+    """
+    from gci_tpu.depth.eventspace import DepthEvents
+    from gci_tpu.intervals import collapse_depth_runs, distance_merge
+
+    def collapse(lo, hi):
+        if isinstance(depths, DepthEvents):
+            bed = depths.collapse(lo, hi, 0, start)
+        else:
+            bed = collapse_depth_runs(depths, lo, hi, 0, start)
+        if not bed:
+            return []
+        return distance_merge(bed, end - start, dist_percent, start, start, end)
+
+    return (
+        collapse(threshold, mean_depth * depth_min),
+        collapse(-1, threshold),
+    )
+
+
+def _band_legend_handles(mlines, saw_low, saw_zero, depth_min):
+    handles = []
+    if saw_low:
+        handles.append(mlines.Line2D(
+            [], [], color=_LOW_COLOR,
+            label="The region with the depth in the range of "
+                  f"(0, {depth_min}*mean_depth]",
+        ))
+    if saw_zero:
+        handles.append(mlines.Line2D(
+            [], [], color=_ZERO_COLOR, label="The region of zero depth",
+        ))
+    handles.append(
+        mlines.Line2D([], [], label="Mean Coverage", **_MEAN_LINE)
+    )
+    return handles
+
+
 def plot_target(
     depths_list,
     target,
@@ -226,9 +278,9 @@ def plot_target(
     threshold,
     save_dir=None,
 ):
-    """One figure (GCI.py:742-834). ``save_dir`` defaults to {directory}/images
-    (main driver layout); the plot-only tool saves into {directory} itself
-    (plot_depth.py:341,388)."""
+    """One mirror figure (GCI.py:742-834). ``save_dir`` defaults to
+    {directory}/images (main driver layout); the plot-only tool saves into
+    {directory} itself (plot_depth.py:341,388)."""
     if save_dir is None:
         save_dir = f"{directory}/images"
     import matplotlib
@@ -238,101 +290,61 @@ def plot_target(
     import matplotlib.pyplot as plt
     from matplotlib.ticker import AutoMinorLocator
 
-    from gci_tpu.intervals import collapse_depth_runs, distance_merge
-
-    depth_colors = ["#2ca25f", "#3C5488"]
-    flags = [1, -1]
-
-    if len(depths_list) == 1:
-        fig, ax = plt.subplots(figsize=(20, 4))
-    else:
-        fig, ax = plt.subplots(figsize=(20, 8))
+    dual = len(depths_list) > 1
+    fig, ax = plt.subplots(figsize=(20, 8 if dual else 4))
+    if dual:
         ax.axhline(0, color="black")
-        hifi_line = mlines.Line2D([], [], color="#2ca25f", label="HiFi", lw=0.8)
-        nano_line = mlines.Line2D([], [], color="#3C5488", label="Nano", lw=0.8)
-        legend1 = plt.legend(handles=[hifi_line, nano_line], loc="upper left")
-        plt.gca().add_artist(legend1)
+        type_handles = [
+            mlines.Line2D([], [], color=c, label=lbl, lw=0.8)
+            for c, lbl in zip(_TYPE_COLORS, ("HiFi", "Nano"))
+        ]
+        plt.gca().add_artist(
+            plt.legend(handles=type_handles, loc="upper left")
+        )
 
-    from gci_tpu.depth.eventspace import DepthEvents
-
-    def _collapse(depths, lo, hi, flank, start_pos):
-        if isinstance(depths, DepthEvents):
-            return depths.collapse(lo, hi, flank, start_pos)
-        return collapse_depth_runs(depths, lo, hi, flank, start_pos)
-
-    blue_flag = red_flag = False
+    saw_low = saw_zero = False
     for i, depthss in enumerate(depths_list):
-        depths = depthss[target]
-        span_args = (y_frac, 1) if i == 0 else (0, y_frac)
-        low_bed = _collapse(
-            depths, threshold, mean_depths[i] * depth_min, 0, start
+        # each type shades its own half of the mirror
+        half = (y_frac, 1) if i == 0 else (0, y_frac)
+        low_bed, zero_bed = _issue_bands(
+            depthss[target], mean_depths[i], threshold, depth_min,
+            dist_percent, start, end,
         )
-        if low_bed:
-            low_bed = distance_merge(
-                low_bed, end - start, dist_percent, start, start, end
-            )
-            for seg in low_bed:
-                ax.axvspan(seg[0] / 1e6, seg[1] / 1e6, *span_args, facecolor="#B7DBEA")
-            blue_flag = True
-        zero_bed = _collapse(depths, -1, threshold, 0, start)
-        if zero_bed:
-            zero_bed = distance_merge(
-                zero_bed, end - start, dist_percent, start, start, end
-            )
-            for seg in zero_bed:
-                ax.axvspan(seg[0] / 1e6, seg[1] / 1e6, *span_args, facecolor="#FAD7DD")
-            red_flag = True
+        for bed, color in ((low_bed, _LOW_COLOR), (zero_bed, _ZERO_COLOR)):
+            for lo_pos, hi_pos in bed:
+                ax.axvspan(lo_pos / 1e6, hi_pos / 1e6, *half, facecolor=color)
+        saw_low |= bool(low_bed)
+        saw_zero |= bool(zero_bed)
         positions, vals = averaged_dicts[i][target]
-        ax.stackplot(positions, flags[i] * vals, lw=0.8, color=depth_colors[i], zorder=4)
-        ax.axhline(
-            flags[i] * mean_depths[i], color="r", ls="-.", dash_capstyle="butt",
-            lw=1, zorder=5,
+        ax.stackplot(
+            positions, _TYPE_SIGNS[i] * vals, lw=0.8,
+            color=_TYPE_COLORS[i], zorder=4,
         )
+        ax.axhline(_TYPE_SIGNS[i] * mean_depths[i], zorder=5, **_MEAN_LINE)
 
     ax.set_ylim(bottom=-y_min, top=y_max)
     ax.xaxis.set_minor_locator(AutoMinorLocator())
     ax.yaxis.set_minor_locator(AutoMinorLocator())
 
-    lines = []
-    if blue_flag:
-        lines.append(
-            mlines.Line2D(
-                [], [], color="#B7DBEA",
-                label=f"The region with the depth in the range of (0, {depth_min}*mean_depth]",
-            )
-        )
-    if red_flag:
-        lines.append(
-            mlines.Line2D([], [], color="#FAD7DD", label="The region of zero depth")
-        )
-    lines.append(
-        mlines.Line2D(
-            [], [], color="r", ls="-.", dash_capstyle="butt", lw=1,
-            label="Mean Coverage",
-        )
-    )
-    legend2 = plt.legend(
-        handles=lines, loc="lower center", bbox_to_anchor=(0.5, 1), ncols=len(lines)
-    )
-    plt.gca().add_artist(legend2)
+    handles = _band_legend_handles(mlines, saw_low, saw_zero, depth_min)
+    plt.gca().add_artist(plt.legend(
+        handles=handles, loc="lower center", bbox_to_anchor=(0.5, 1),
+        ncols=len(handles),
+    ))
 
     plt.xlabel("Genomic Position (Mb)", fontsize=14)
     plt.ylabel("Depth", fontsize=14)
     plt.xticks(fontsize=12)
     plt.yticks(fontsize=12)
-    if not regions_flag:
-        plt.title(f"Filtered depth across the whole genome:{target}", fontsize=18, pad=30)
-        plt.tight_layout()
-        plt.savefig(f"{save_dir}/{prefix}.{target}.{image_type}", dpi=200)
+    if regions_flag:
+        title = f"Filtered depth across the region:{target}:{start}-{end}"
+        fname = f"{prefix}.{target}:{start}-{end}.{image_type}"
     else:
-        plt.title(
-            f"Filtered depth across the region:{target}:{start}-{end}",
-            fontsize=18, pad=30,
-        )
-        plt.tight_layout()
-        plt.savefig(
-            f"{save_dir}/{prefix}.{target}:{start}-{end}.{image_type}", dpi=200
-        )
+        title = f"Filtered depth across the whole genome:{target}"
+        fname = f"{prefix}.{target}.{image_type}"
+    plt.title(title, fontsize=18, pad=30)
+    plt.tight_layout()
+    plt.savefig(f"{save_dir}/{fname}", dpi=200)
     plt.close()
 
 
