@@ -127,6 +127,34 @@ def compute_continuity_report(
         )
 
 
+def _one_region_scores(
+    depths_list, target, start, end, threshold, dist_percent
+):
+    """Per-type (gci, complement_lengths, contig_count) for one region.
+
+    The per-region score treats the region as ONE expected contig of length
+    end-start; the observed side is the complement of the zero-depth
+    intervals, with the contig count taken after distance-merging
+    (GCI.py:624-648).
+    """
+    span = end - start
+    out = []
+    for depthss in depths_list:
+        d = depthss[target]
+        if isinstance(d, DepthEvents):
+            issues = d.slice(start, end).collapse(-1, threshold, 0, start)
+        else:
+            issues = collapse_depth_runs(d[start:end], -1, threshold, 0, start)
+        comp_lengths = _complement_one(issues, start, end)
+        merged = _distance_merge_one(issues, span, dist_percent, start, end)
+        n_contigs = len(_complement_one(merged, start, end))
+        out.append(
+            (gci_score(span, compute_n50(comp_lengths), 1, n_contigs),
+             comp_lengths, n_contigs)
+        )
+    return out
+
+
 def _regions_report(
     regions_path: str,
     regions_bed: dict[str, list[tuple[int, int]]],
@@ -134,63 +162,53 @@ def _regions_report(
     threshold: int,
     dist_percent: float,
 ) -> None:
-    """Per-region GCI sub-report (GCI.py:610-657)."""
+    """Per-region GCI sub-report (GCI.py:610-657): one row per region, then
+    an All_regions summary pooling every VALID region's complements (rows
+    for zero/negative-span regions still print, but don't pool)."""
     print("Computing GCI scores for regions ...")
-    region_all_lengths: list[int] = []
-    region_all_obs_length: list[list[int]] = [[] for _ in depths_list]
-    region_all_obs_num_ctg = [0 for _ in depths_list]
+    n_types = len(depths_list)
+    valid_spans: list[int] = []
+    pooled_lengths: list[list[int]] = [[] for _ in range(n_types)]
+    pooled_contigs = [0] * n_types
     for target, segments in regions_bed.items():
-        for segment in segments:
-            start, end = segment
-            exp_n50 = end - start
-            if exp_n50 > 0:
-                region_all_lengths.append(exp_n50)
+        for start, end in segments:
+            valid = end - start > 0
+            if valid:
+                valid_spans.append(end - start)
             else:
                 print(
                     f'Warning!!! The region "{target}:{start}-{end}" is not available',
                     file=sys.stderr,
                 )
-            gci_row = []
-            for i, depthss in enumerate(depths_list):
-                d = depthss[target]
-                if isinstance(d, DepthEvents):
-                    intervals = d.slice(start, end).collapse(-1, threshold, 0, start)
-                else:
-                    intervals = collapse_depth_runs(d[start:end], -1, threshold, 0, start)
-                obs_lengths = _complement_one(intervals, start, end)
-                obs_n50 = compute_n50(obs_lengths)
-                if exp_n50 > 0:
-                    region_all_obs_length[i] += obs_lengths
-                merged = _distance_merge_one(intervals, exp_n50, dist_percent, start, end)
-                obs_num_ctg = len(_complement_one(merged, start, end))
-                if exp_n50 > 0:
-                    region_all_obs_num_ctg[i] += obs_num_ctg
-                gci_row.append(gci_score(exp_n50, obs_n50, 1, obs_num_ctg))
+            per_type = _one_region_scores(
+                depths_list, target, start, end, threshold, dist_percent
+            )
+            if valid:
+                for i, (_, comp_lengths, n_contigs) in enumerate(per_type):
+                    pooled_lengths[i] += comp_lengths
+                    pooled_contigs[i] += n_contigs
             with open(regions_path, "a") as f:
                 f.write(
-                    f"{target}\t{segment[0]}\t{segment[1]}\t"
-                    + "\t".join(map(str, gci_row))
+                    f"{target}\t{start}\t{end}\t"
+                    + "\t".join(str(row[0]) for row in per_type)
                     + "\n"
                 )
-    region_all_exp_n50 = compute_n50(region_all_lengths)
-    region_all_exp_num_ctg = len(region_all_lengths)
-    region_all_gci = []
-    for i in range(len(depths_list)):
-        obs_n50 = compute_n50(region_all_obs_length[i])
-        if region_all_obs_num_ctg[i] == 0:
-            region_all_gci.append(0)
+    summary = []
+    for i in range(n_types):
+        if pooled_contigs[i] == 0:
+            summary.append(0)
         else:
-            region_all_gci.append(
+            summary.append(
                 gci_score(
-                    region_all_exp_n50,
-                    obs_n50,
-                    region_all_exp_num_ctg,
-                    region_all_obs_num_ctg[i],
+                    compute_n50(valid_spans),
+                    compute_n50(pooled_lengths[i]),
+                    len(valid_spans),
+                    pooled_contigs[i],
                 )
             )
     with open(regions_path, "a") as f:
         f.write(_SEPARATOR)
-        f.write("All_regions\t*\t*\t" + "\t".join(map(str, region_all_gci)) + "\n")
+        f.write("All_regions\t*\t*\t" + "\t".join(map(str, summary)) + "\n")
     print("Computing GCI scores for regions done!!!\n\n")
 
 
