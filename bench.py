@@ -696,9 +696,11 @@ def run_paf_election_bench():
     t0 = time.perf_counter()
     paf = read_paf(path, threads=os.cpu_count() or 1)
     parse_cold_s = time.perf_counter() - t0  # may include disk/page-cache miss
-    t0 = time.perf_counter()
-    paf = read_paf(path, threads=os.cpu_count() or 1)
-    parse_s = time.perf_counter() - t0  # steady state (tokenizer-bound)
+    parse_s = 1e9
+    for _ in range(3):  # steady state, best-of-3 (shared-host noise)
+        t0 = time.perf_counter()
+        paf = read_paf(path, threads=os.cpu_count() or 1)
+        parse_s = min(parse_s, time.perf_counter() - t0)
     mask = paf_filter_mask(paf.mapq, paf.nmatch, paf.alnlen, 30, 0.9)
     elect_s = 1e9
     for _ in range(3):  # best-of-3: this shared host's clock is very noisy
