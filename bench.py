@@ -613,7 +613,10 @@ def run_e2e(backend: str, ref: str, bam: str, mesh: str | None = None):
     # are identical host work and this host's wall-clock is very noisy)
     backend_s = sum(
         v for k, v in stages.items()
-        if any(t in k for t in ("depth_accumulate", "write_depth_gz", "issue_bed"))
+        if any(t in k for t in (
+            "depth_accumulate", "checkpoint_readback", "write_depth_gz",
+            "issue_bed",
+        ))
     )
     return {
         "wall_s": round(wall, 2),
