@@ -356,5 +356,67 @@ def main():
     print(results, flush=True)
 
 
+
+
+def extra_variants(rows=2048):
+    """Decompose packed9 = carry prep (full-array reduce + tiny cumsum) +
+    pallas scan pass: are they additive, or does XLA hide the prep?"""
+    import jax
+    import jax.numpy as jnp
+
+    n_chunks = TOTAL // (rows * LANES)
+    rng = np.random.default_rng(0)
+    word_h = rng.integers(-4, 8, size=TOTAL).astype(np.int32)
+    word = jnp.asarray(word_h)
+
+    results = {}
+
+    def report(name, secs, nbytes):
+        results[name] = round(secs * 1e3, 2)
+        print(f"{name:28s} {secs*1e3:8.2f} ms/pass   "
+              f"{nbytes/secs/1e9:7.1f} GB/s", flush=True)
+
+    # prep only: chained sums+cumsum (the fused call's non-pallas part)
+    def make_prep(n):
+        @jax.jit
+        def f(w):
+            def body(_, x):
+                d2 = x.reshape(n_chunks, rows, LANES)
+                sums = jnp.sum(d2, axis=(1, 2), dtype=jnp.int32)
+                carry = jnp.cumsum(sums) - sums
+                # keep the same chained int32 array shape
+                return x + carry[0]
+            return jax.lax.fori_loop(0, n, body, w)[-1]
+        return f
+
+    report("prep-only(reduce+cumsum)", timeit_chained(make_prep, word), 2 * TOTAL)
+
+    # pallas scan WITHOUT the prep: fixed precomputed carry
+    call9 = _make_call(_packed9_body, rows, (jnp.int32, jnp.int8))
+    carry0 = jnp.zeros(n_chunks, jnp.int32)
+    lo = jnp.full((n_chunks,), -1, jnp.int32)
+    hi = jnp.full((n_chunks,), 0, jnp.int32)
+
+    def make_noprep(n):
+        @jax.jit
+        def f(w):
+            def body(_, x):
+                o, _f = call9(carry0, lo, hi, x)
+                return o
+            return jax.lax.fori_loop(
+                0, n, body, w.reshape(n_chunks, rows, LANES)
+            ).reshape(-1)[-1]
+        return f
+
+    report("packed9-noprep", timeit_chained(make_noprep, word), 9 * TOTAL)
+    print(results, flush=True)
+
+
+
+
+
 if __name__ == "__main__":
-    main()
+    if "--extra" in sys.argv:
+        extra_variants()
+    else:
+        main()
