@@ -172,8 +172,9 @@ def measure_kernel_bandwidth(iters: int = 16):
 
     Accounting (VERDICT r4 'Next #10'): ``gbps`` is BYTES ACTUALLY MOVED
     (9 B/slot) — the single cross-round metric from now on.  Restated in
-    this accounting the history is r3 24.2 ms, r4 19.8 ms, r5 15.7 ms per
-    0.5G-slot pass (see experiments/KERNEL_FLOOR_NOTES.md).
+    this accounting the history is r3 24.2 ms, r4 19.8 ms, r5 18.7 ms
+    (two-phase), r5b 15.8 ms (single-pass sequential-carry kernel) per
+    0.5G-slot construction (see experiments/KERNEL_FLOOR_NOTES.md).
     """
     import jax
     import jax.numpy as jnp

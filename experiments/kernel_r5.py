@@ -161,6 +161,78 @@ def _fold8_body(is_first, carry_val, lo, hi, word_ref, out_ref):
     )
 
 
+def _packed9_seq_call(rows):
+    """Single-pass variant: SEQUENTIAL grid, carry lives in SMEM scratch —
+    no separate whole-array reduce pass (the next chunk's carry is just
+    sw[-1, -1] of the tile already computed)."""
+    n_chunks = TOTAL // (rows * LANES)
+    spec = pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0))
+
+    def kernel(lo_s, hi_s, word_b, depth_b, flags_b, carry_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            carry_ref[0] = 0
+
+        carry_val = carry_ref[0]
+        w = word_b[0]
+        row_cs = ps._lane_inclusive_scan(w)
+        sw = row_cs + ps._row_carry_bcast(row_cs) + carry_val
+        carry_ref[0] = sw[rows - 1, LANES - 1]
+        depth = jax.lax.shift_right_logical(sw, 2)
+        depth_b[0] = depth
+        lo, hi = lo_s[i], hi_s[i]
+        gap2 = jnp.bitwise_and(sw, 2)
+        masked = jnp.where(gap2 != 0, 0, depth)
+        m = (masked > lo) & (masked <= hi) & (jnp.bitwise_and(sw, 1) != 0)
+        carry_depth = jax.lax.shift_right_logical(carry_val, 2)
+        prev_masked0 = jnp.where(
+            jnp.bitwise_and(carry_val, 2) != 0, 0, carry_depth
+        )
+        prev0_m = (
+            (prev_masked0 > lo)
+            & (prev_masked0 <= hi)
+            & (jnp.bitwise_and(carry_val, 1) != 0)
+        )
+        int_min = jnp.int32(-(2**31))
+        pw = jnp.where(m, jnp.bitwise_or(depth, int_min), depth)
+        seed_pw = jnp.bitwise_or(
+            jnp.where(prev0_m, int_min, 0),
+            jnp.where(i == 0, jnp.int32(0x7FFFFFFF), carry_depth),
+        )
+        prev_pw = ps._linear_prev(pw, seed_pw)
+        prev_m = prev_pw < 0
+        prev_depth = jnp.bitwise_and(prev_pw, jnp.int32(0x7FFFFFFF))
+        rise = m & ~prev_m
+        fall = prev_m & ~m
+        change = depth != prev_depth
+        flags_b[0] = (
+            rise.astype(jnp.int32)
+            + fall.astype(jnp.int32) * 2
+            + change.astype(jnp.int32) * 4
+            + gap2 * 4
+        ).astype(jnp.int8)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_chunks,),
+            in_specs=[spec],
+            out_specs=[spec, spec],
+            scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+    )
+
+
 def _make_call(body, rows, out_dtypes):
     n_chunks = TOTAL // (rows * LANES)
     spec = pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0))
@@ -409,6 +481,40 @@ def extra_variants(rows=2048):
         return f
 
     report("packed9-noprep", timeit_chained(make_noprep, word), 9 * TOTAL)
+
+    # single-pass sequential-grid variant: no reduce pre-pass at all
+    call_seq = _packed9_seq_call(rows)
+
+    def make_seq(n):
+        @jax.jit
+        def f(w):
+            def body(_, x):
+                o, _f = call_seq(lo, hi, x)
+                return o
+            return jax.lax.fori_loop(
+                0, n, body, w.reshape(n_chunks, rows, LANES)
+            ).reshape(-1)[-1]
+        return f
+
+    report("packed9-seq(1 pass e2e)", timeit_chained(make_seq, word), 9 * TOTAL)
+
+    # exactness vs the production two-phase call on a real event word
+    rng = np.random.default_rng(1)
+    wh = np.zeros(TOTAL, np.int32)
+    idx = rng.integers(0, TOTAL - 1, 1_000_000)
+    np.add.at(wh, idx, 4)
+    np.add.at(wh, idx + 1, -4)
+    wh[0] += 1
+    gs = np.sort(rng.choice(TOTAL - 2000, 64, replace=False))
+    np.add.at(wh, gs, 2)
+    np.add.at(wh, gs + 1000, -2)
+    wv = jnp.asarray(wh)
+    d_ref, f_ref = ps.fused_depth_scan_packed(wv, -1, 0, rows=rows)
+    d_seq, f_seq = call_seq(lo, hi, wv.reshape(n_chunks, rows, LANES))
+    ok_d = bool(jnp.all(d_seq.reshape(-1) == d_ref))
+    ok_f = bool(jnp.all(f_seq.reshape(-1) == f_ref))
+    print(f"  packed9-seq parity vs two-phase: depth={ok_d} flags={ok_f}",
+          flush=True)
     print(results, flush=True)
 
 

@@ -515,8 +515,8 @@ def fused_depth_scan_flags(
 
 def _scan_packed_kernel(is_first, carry_val, lo, hi, word_ref,
                         depth_ref, flags_ref):
-    """Folded-input production kernel (r5): ONE int32 input word per slot,
-    ``word = read_delta<<2 | gap_event<<1 | valid_event``.
+    """Folded-input production kernel body (r5): ONE int32 input word per
+    slot, ``word = read_delta<<2 | gap_event<<1 | valid_event``.
 
     N-gap intervals and scan-window intervals are each DISJOINT, so their
     interval-event prefix sums are always in {0, 1}: one int32 cumsum scans
@@ -524,6 +524,7 @@ def _scan_packed_kernel(is_first, carry_val, lo, hi, word_ref,
     depth < 2^29, asserted by the callers).  The chunk carry IS the packed
     prefix, so it transports the gap/valid seed state for free.  Outputs:
     clean depth + flag byte (bit0 rise, bit1 fall, bit2 change, bit3 gap).
+    Returns the scanned tile's last element — the NEXT chunk's carry.
 
     VPU-tail diet vs ``_scan_flags_kernel`` (measured r5, 0.5G slots:
     19.8 -> 15.7 ms/pass vs a 14.9 ms copy ceiling of the same 9 B/slot
@@ -567,6 +568,18 @@ def _scan_packed_kernel(is_first, carry_val, lo, hi, word_ref,
         + change.astype(jnp.int32) * 4
         + gap2 * 4  # 0/2 -> bit3
     ).astype(jnp.int8)
+    return sw[sw.shape[0] - 1, LANES - 1]
+
+
+def _seq_grid_params(rows: int):
+    """Sequential-grid compiler params (the scratch carry imposes order);
+    blocks past 2048 rows still need the raised scoped-vmem limit."""
+    if rows <= 2048:
+        return pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+    return pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "interpret"))
@@ -577,7 +590,7 @@ def fused_depth_scan_packed(
     rows: int = DEF_ROWS,
     interpret: bool = False,
 ):
-    """Folded-input production scan: (raw_depth, out_flags).
+    """Folded-input production scan, ONE HBM pass: (raw_depth, out_flags).
 
     ``word[i] = read_delta[i]<<2 | gap_event[i]<<1 | valid_event[i]`` where
     gap/valid events are the +-1 interval boundary deltas of the (disjoint)
@@ -586,6 +599,13 @@ def fused_depth_scan_packed(
     built by two extra O(genome) prefix-sum programs — both deleted here).
     ``out_flags``: bit0=rise, bit1=fall, bit2=change (same definitions as
     ``fused_depth_scan_flags``) plus bit3 = in-gap.
+
+    Single-pass (r5b): the grid runs SEQUENTIALLY with the running carry in
+    SMEM scratch — the next chunk's carry is just ``sw[-1, -1]`` of the
+    tile already computed — which deletes the separate whole-array
+    reduce+cumsum carry pre-pass of the classic two-level decomposition
+    (measured 18.6 -> 15.8 ms per 0.5G-slot construction; the sequential
+    grid itself is wall-neutral vs the parallel one, 15.76 vs 15.84 ms).
 
     Callers must guarantee depth < 2^29 (equivalently: fewer than 2^29
     overlapping reads at any position — any realistic input).
@@ -596,26 +616,29 @@ def fused_depth_scan_packed(
     n_chunks = total // chunk
 
     w2 = word.reshape(n_chunks, rows, LANES)
-    sums = jnp.sum(w2, axis=(1, 2), dtype=jnp.int32)
-    carry = jnp.cumsum(sums) - sums  # exclusive packed prefix, (n_chunks,)
-
     lo = jnp.full((n_chunks,), leftmost, jnp.int32)
     hi = jnp.full((n_chunks,), rightmost, jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # carry, lo, hi
+        num_scalar_prefetch=2,  # lo, hi
         grid=(n_chunks,),
         in_specs=[pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0))],
         out_specs=[
             pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
         ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
 
-    def kernel(carry_s, lo_s, hi_s, word_b, depth_b, flags_b):
+    def kernel(lo_s, hi_s, word_b, depth_b, flags_b, carry_ref):
         i = pl.program_id(0)
-        _scan_packed_kernel(
-            i == 0, carry_s[i], lo_s[i], hi_s[i],
+
+        @pl.when(i == 0)
+        def _():
+            carry_ref[0] = 0
+
+        carry_ref[0] = _scan_packed_kernel(
+            i == 0, carry_ref[0], lo_s[i], hi_s[i],
             word_b.at[0], depth_b.at[0], flags_b.at[0],
         )
 
@@ -626,9 +649,9 @@ def fused_depth_scan_packed(
             jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int32),
             jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int8),
         ],
-        compiler_params=None if interpret else _grid_params(rows),
+        compiler_params=None if interpret else _seq_grid_params(rows),
         interpret=interpret,
-    )(carry, lo, hi, w2)
+    )(lo, hi, w2)
     return depth.reshape(total), flags.reshape(total)
 
 
