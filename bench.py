@@ -842,6 +842,14 @@ def run_reference_style(cols, targets_length, n_sample, bp_sample):
 
 
 def main():
+    # run the whole-genome rehearsal CHILDREN before this parent process
+    # touches the device: with the parent holding the (tunneled) chip, the
+    # children's device buffers spill to host staging and their peak-RSS
+    # measurement triples (10.1 vs 3.3 GB measured r5) — the rehearsals
+    # must see an otherwise-idle chip, like production would
+    chm13 = run_chm13_rehearsal()
+    chm13_dual = run_chm13_dual_rehearsal()
+
     rng = np.random.default_rng(0xBEEF)
     target_len = GENOME_BP // N_TARGETS
     targets_length = {f"chr{i}": target_len for i in range(N_TARGETS)}
@@ -938,10 +946,6 @@ def main():
     paf_bench = run_paf_election_bench()
 
     pack_bench = run_bam_pack_bench()
-
-    chm13 = run_chm13_rehearsal()
-
-    chm13_dual = run_chm13_dual_rehearsal()
 
     out = {
         "metric": "synthetic 1Gbp/4M-read filtered+depth-binned+interval-scanned reads/s per chip",
