@@ -259,3 +259,36 @@ def test_fallback_flags_kernel_path_equals_packed(rng, monkeypatch):
         np.testing.assert_array_equal(
             ev.materialize(), fm.to_events()[t].materialize()
         )
+
+
+def test_from_delta_matches_from_reads(rng):
+    """The overlap path's entry (an already-accumulated delta array) must
+    construct the identical resident object as from_reads: same depth,
+    same kernel-cached issue intervals, same events."""
+    import jax.numpy as jnp
+
+    from gci_tpu.depth.device import pack_read_deltas
+
+    layout = GenomeLayout.from_targets({"a": 6000, "b": 2000})
+    n = 350
+    tid = rng.integers(0, 2, n).astype(np.int32)
+    start = rng.integers(0, 1500, n).astype(np.int64)
+    end = start + rng.integers(40, 400, n)
+    gaps = {"a": [(500, 700)]}
+
+    dd1 = DeviceDepth.from_reads(layout, tid, start, end, 15, gaps=gaps)
+    gs, ge, live = pack_read_deltas(layout, tid, start, end, 15)
+    pad_total = DeviceDepth.pad_total_for(layout.total_slots)
+    delta = np.zeros(pad_total, np.int32)
+    np.add.at(delta, gs, live)
+    np.add.at(delta, ge, -live)
+    dd2 = DeviceDepth.from_delta(layout, jnp.asarray(delta), 15, gaps=gaps)
+
+    for t, a in dd1.materialize_dict().items():
+        np.testing.assert_array_equal(a, dd2.materialize_dict()[t])
+    m1, m2 = dd1.mask_gaps(gaps), dd2.mask_gaps(gaps)
+    assert m1.collapse_dict(-1, 0, 15) == m2.collapse_dict(-1, 0, 15)
+    for t, ev in dd1.to_events().items():
+        np.testing.assert_array_equal(
+            ev.materialize(), dd2.to_events()[t].materialize()
+        )
