@@ -203,33 +203,43 @@ def _scan_only_kernel(carry_val, delta_ref, depth_ref):
 
 @functools.partial(jax.jit, static_argnames=("rows", "interpret"))
 def depth_scan(delta: jax.Array, rows: int = DEF_ROWS, interpret: bool = False):
-    """Depth-only chunked prefix sum (no mask/edge outputs)."""
+    """Depth-only prefix sum, ONE HBM pass (sequential grid, running carry
+    in SMEM scratch — no separate whole-array reduce for the chunk carries;
+    same r5b structure as ``fused_depth_scan_packed``)."""
     total = delta.shape[0]
     chunk = rows * LANES
     assert total % chunk == 0, "pad the axis to a chunk multiple"
     n_chunks = total // chunk
     d2 = delta.reshape(n_chunks, rows, LANES)
-    sums = jnp.sum(d2, axis=(1, 2), dtype=jnp.int32)
-    carry = jnp.cumsum(sums) - sums
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(n_chunks,),
-        in_specs=[pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0))],
-        out_specs=[pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0))],
+        in_specs=[pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0))],
+        out_specs=[pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0))],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
 
-    def kernel(carry_s, delta_b, depth_b):
+    def kernel(delta_b, depth_b, carry_ref):
         i = pl.program_id(0)
-        _scan_only_kernel(carry_s[i], delta_b.at[0], depth_b.at[0])
+
+        @pl.when(i == 0)
+        def _():
+            carry_ref[0] = 0
+
+        x = delta_b[0]
+        row_cs = _lane_inclusive_scan(x)
+        depth = row_cs + _row_carry_bcast(row_cs) + carry_ref[0]
+        depth_b[0] = depth
+        carry_ref[0] = depth[rows - 1, LANES - 1]
 
     (depth,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int32)],
-        compiler_params=None if interpret else _grid_params(rows),
+        compiler_params=None if interpret else _seq_grid_params(rows),
         interpret=interpret,
-    )(carry, d2)
+    )(d2)
     return depth.reshape(total)
 
 
