@@ -257,7 +257,8 @@ def fused_depth_scan(
     """(depth, rise, fall) over the padded genome axis.
 
     ``delta``/``valid`` length must be a multiple of rows*128 (pad with
-    zeros; padded slots must be invalid).
+    zeros; padded slots must be invalid).  Single-pass (r5b): sequential
+    grid, running carry in SMEM scratch — no separate carry pre-pass.
     """
     total = delta.shape[0]
     chunk = rows * LANES
@@ -265,9 +266,6 @@ def fused_depth_scan(
     n_chunks = total // chunk
 
     d2 = delta.reshape(n_chunks, rows, LANES)
-    sums = jnp.sum(d2, axis=(1, 2), dtype=jnp.int32)
-    carry = jnp.cumsum(sums) - sums  # exclusive, (n_chunks,)
-
     v2 = valid.reshape(n_chunks, rows, LANES)
     # scan-window validity of the slot just before each chunk (False for 0)
     seed_valid = jnp.concatenate(
@@ -278,7 +276,7 @@ def fused_depth_scan(
     hi = jnp.full((n_chunks,), rightmost, jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # carry, seed_valid, lo, hi
+        num_scalar_prefetch=3,  # seed_valid, lo, hi
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
@@ -289,12 +287,19 @@ def fused_depth_scan(
             pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, rows, LANES), lambda i, *_: (i, 0, 0)),
         ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
 
-    def kernel(carry_s, seed_s, lo_s, hi_s, delta_b, valid_b, depth_b, rise_b, fall_b):
+    def kernel(seed_s, lo_s, hi_s, delta_b, valid_b, depth_b, rise_b, fall_b,
+               carry_ref):
         i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            carry_ref[0] = 0
+
         _scan_kernel(
-            carry_s[i],
+            carry_ref[0],
             seed_s[i],
             lo_s[i],
             hi_s[i],
@@ -304,6 +309,7 @@ def fused_depth_scan(
             rise_b.at[0],
             fall_b.at[0],
         )
+        carry_ref[0] = depth_b[0, rows - 1, LANES - 1]
 
     depth, rise, fall = pl.pallas_call(
         kernel,
@@ -313,9 +319,9 @@ def fused_depth_scan(
             jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int8),
             jax.ShapeDtypeStruct((n_chunks, rows, LANES), jnp.int8),
         ],
-        compiler_params=None if interpret else _grid_params(rows),
+        compiler_params=None if interpret else _seq_grid_params(rows),
         interpret=interpret,
-    )(carry, seed_valid, lo, hi, d2, v2)
+    )(seed_valid, lo, hi, d2, v2)
     return (
         depth.reshape(total),
         rise.reshape(total),
