@@ -7,9 +7,10 @@ filtered+depth-binned per chip"; the reference ships no speed harness):
    synthetic 1 Gbp / 4M-read workload, one chip (same program shape as
    BENCH_r01 for cross-round comparability);
 2. kernel bandwidth — the production fused scan kernel
-   (fused_depth_scan_masked: depth + gap mask + issue edges + RLE
-   boundaries in one pass) timed alone, reported as achieved GB/s vs the
-   v5e HBM speed-of-light (~819 GB/s);
+   (fused_depth_scan_packed: depth + gap mask + issue edges + RLE
+   boundaries from ONE folded event-word stream in ONE HBM pass) timed
+   alone, reported as achieved GB/s vs the v5e HBM speed-of-light
+   (~819 GB/s) and vs its own stream mix's measured copy ceiling;
 3. e2e file-to-file — a real `gci -r ref.fa --hifi x.bam` run (synthetic
    500 Mbp genome / 250k-read BAM with real seq/qual bytes, generated once
    and cached) through

@@ -2,15 +2,18 @@
 
 XLA lowers a 1-D ``jnp.cumsum`` over the genome axis to ~log2(N) full HBM
 passes (measured ~275 ms for 1 Gbp on v5e — ~30x off memory speed-of-light).
-This kernel makes the whole per-base stage graph a single pass with the
-classic two-level decomposition:
+This kernel makes the whole per-base stage graph a single pass:
 
-  1. per-chunk sums + exclusive carry: one cheap XLA reduction + a tiny scan,
-  2. one fused Pallas pass per chunk: in-VMEM hierarchical scan (MXU
-     triangular-matmul lane scan + full-tile-broadcast sublane carry), add
-     the carry, then compute the issue-interval mask and its rise/fall edge
-     flags in the same pass — depth, mask edges and the gap-masked depth all
-     come out of a single HBM read of the delta array.
+  * one fused Pallas pass per chunk: in-VMEM hierarchical scan (MXU
+    triangular-matmul lane scan + full-tile-broadcast sublane carry), add
+    the running carry, then compute the issue-interval mask and its
+    rise/fall edge flags in the same pass — depth, mask edges and the
+    gap-masked depth all come out of a single HBM read of the input;
+  * the chunk carry lives in SMEM scratch across a SEQUENTIAL grid (r5b):
+    the next chunk's carry is just the scanned tile's last element, so the
+    classic two-level decomposition's whole-array reduce pre-pass (an
+    extra full HBM read, ~2.9 ms per 0.5G slots) is gone — the production
+    kernels are genuinely one-pass end to end.
 
 Measured shape facts (r3, v5e, 0.5G slots, rows=2048):
   * a pure copy kernel with this grid/block structure reaches ~298 GB/s —
