@@ -323,3 +323,44 @@ def test_uncompressed_bam_streams_via_whole_file_fallback(tmp_path, rng):
     # range-sharding a plain BAM must fail loudly, not misparse
     with pytest.raises(ValueError):
         BamStream(plain, comp_range=(0, 100))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_header_dominated_range_partitions(tmp_path, seed):
+    """Partition invariant when the BAM is mostly HEADER: random cuts land
+    inside the header block chain, so the first shard's record walk starts
+    from header-spillover carry whose block may belong to a LATER shard —
+    the exact shape of the r5 ownership-leak bug (records double-packed
+    when stop_block_coff was only set at EOF)."""
+    import os
+
+    from gci_tpu.io.bam import BamStream, read_bam
+    from tests.fixtures import make_bam
+
+    rng = np.random.default_rng(0xBAD0 + seed)
+    refs = [f"tig{i:04d}" for i in range(800)]
+    lens = [1000] * len(refs)
+    reads = [
+        dict(name=f"q{i}", ref=refs[-1 - (i % 5)], pos=int(rng.integers(0, 800)),
+             mapq=60, cigar="100M", nm=0)
+        for i in range(int(rng.integers(3, 30)))
+    ]
+    bam = str(tmp_path / "hdr.bam")
+    make_bam(bam, refs, lens, reads)
+
+    whole = read_bam(bam, keep_names=True)
+    fsize = os.path.getsize(bam)
+    n_shards = int(rng.integers(2, 7))
+    cuts = sorted(int(rng.integers(1, fsize)) for _ in range(n_shards - 1))
+    bounds = [0] + cuts + [fsize]
+    names = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if lo >= hi:
+            continue
+        with BamStream(
+            bam, threads=2, keep_names=True, comp_range=(lo, hi),
+            chunk_bytes=1 << 14,
+        ) as st:
+            for ch in st:
+                names.extend(ch.names or [])
+    assert names == whole.names, (seed, n_shards, cuts)
