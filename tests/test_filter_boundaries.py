@@ -302,3 +302,36 @@ def test_multi_paf_synteny_accumulation(tmp_path):
     paf_lines, _ = oracle_paf_elections(pafs, {"tgA": 3000, "tgB": 3000}, 30, 0.9, 50)
     assert paf_lines[0][b"q"][0] == "tgA"
     assert paf_lines[1][b"q"][0] == "tgB"
+
+
+def test_legacy_filter_bam_mask_exact_ties(tmp_path):
+    """gci-filter-bam's legacy formulas (reference filter_bam.py:152-159:
+    clip = S/(M+I+S), identity = (M-mm)/(M+I+D), NO =/X terms) at exact
+    float64 ties, with literal expectations."""
+    from gci_tpu.tools.filter_bam import legacy_bam_filter_mask
+
+    reads = [
+        # clip = 1/10 = 0.1 == clip_percent -> KEEP; identity = 9/9 = 1
+        dict(name="clip_eq", ref="chrA", pos=10, mapq=60, cigar="1S9M", nm=0),
+        # clip = 11/100 = 0.11 -> DROP
+        dict(name="clip_hi", ref="chrA", pos=10, mapq=60, cigar="11S89M", nm=0),
+        # identity = (9-0)/10 = 0.9 == iden_percent -> KEEP (9M1D NM=1)
+        dict(name="iden_eq", ref="chrA", pos=10, mapq=60, cigar="9M1D", nm=1),
+        # identity = 89/100 = 0.89 -> DROP
+        dict(name="iden_lo", ref="chrA", pos=10, mapq=60, cigar="89M11D", nm=11),
+        # the LEGACY divergence: =/X are invisible, so a 45=5X read has
+        # M = 0 -> clip 0/0 nan <= 0.1 is False -> DROP (the main-pipeline
+        # mask KEEPS it; the reference's legacy tool would ZeroDivisionError)
+        dict(name="eqx_only", ref="chrA", pos=10, mapq=60, cigar="45=5X", nm=5),
+        dict(name="mapq_lo", ref="chrA", pos=10, mapq=29, cigar="100M", nm=0),
+    ]
+    bam = _bam(tmp_path, "legacy.bam", reads)
+    mask = legacy_bam_filter_mask(bam.columns, 30, 0.1, 0.9)
+    assert dict(zip(bam.names, mask.tolist())) == {
+        b"clip_eq": True,
+        b"clip_hi": False,
+        b"iden_eq": True,
+        b"iden_lo": False,
+        b"eqx_only": False,
+        b"mapq_lo": False,
+    }
