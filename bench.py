@@ -702,6 +702,37 @@ def run_bam_pack_bench():
     }
 
 
+def run_whole_genome_plot_bench():
+    """BASELINE config #4's plotting surface (-p -ws 50000) at the e2e
+    scale (500 Mbp, ~9x coverage — realistic zero-density; the 3.1 Gbp
+    dual rehearsal inputs are ~1x coverage, where the reference's
+    point-per-zero-base window-averaging semantics make whole-genome
+    figures carry tens of millions of points — faithful but pathological,
+    so plotting is exercised here instead)."""
+    from gci_tpu.pipeline import run_gci
+
+    ref, bam = ensure_e2e_inputs()
+    outdir = os.path.join(E2E_DIR, "out_events_plot")
+    t0 = time.perf_counter()
+    run_gci(
+        hifi=[bam], reference=ref, directory=outdir, prefix="P", force=True,
+        threads=os.cpu_count() or 1, depth_backend="events",
+        plot=True, window_size=50_000,
+    )
+    wall = time.perf_counter() - t0
+    import glob
+
+    images = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(outdir, "images", "P.*"))
+    )
+    return {
+        "bp": E2E_BP,
+        "wall_s": round(wall, 1),
+        "images": len(images),
+    }
+
+
 def run_paf_election_bench():
     """Parse + mask + elect a multi-million-row PAF; baseline = the
     reference's per-row dict-of-dicts loop (GCI.py:213-254) on a subsample,
@@ -948,6 +979,8 @@ def main():
 
     pack_bench = run_bam_pack_bench()
 
+    plots_bench = run_whole_genome_plot_bench()
+
     out = {
         "metric": "synthetic 1Gbp/4M-read filtered+depth-binned+interval-scanned reads/s per chip",
         "value": round(reads_per_s, 1),
@@ -959,6 +992,7 @@ def main():
         out["fused_kernel"] = kernel
     out["paf_election"] = paf_bench
     out["bam_pack"] = pack_bench
+    out["whole_genome_plots"] = plots_bench
     if chm13 is not None:
         out["chm13_rehearsal"] = chm13
     if chm13_dual is not None:
