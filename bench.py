@@ -543,6 +543,26 @@ def run_chm13_dual_child():
         if open(os.path.join(outdir, f), "rb").read()
         != open(os.path.join(ev_dir, f), "rb").read()
     ]
+    # resume-from-checkpoint across all three depth files (the score
+    # tool's hifi+nano+two_type branch) must reproduce the run's .gci
+    from gci_tpu.tools.score_only import main as score_main
+
+    resume_dir = os.path.join(E2E_DIR, "out_chm13_dual_resume")
+    os.makedirs(resume_dir, exist_ok=True)
+    t0 = time.perf_counter()
+    score_main([
+        "-r", ref,
+        "--hifi", os.path.join(outdir, "D_hifi.depth.gz"),
+        "--nano", os.path.join(outdir, "D_nano.depth.gz"),
+        "--two-type", os.path.join(outdir, "D_two_type.depth.gz"),
+        "-d", resume_dir, "-o", "D", "-f",
+    ])
+    resume_wall = time.perf_counter() - t0
+    with open(os.path.join(outdir, "D.gci"), "rb") as a, open(
+        os.path.join(resume_dir, "D.gci"), "rb"
+    ) as b:
+        resume_match = a.read() == b.read()
+
     agg = {}
     for k, v in stages.items():
         key = k.split(":", 1)[-1] if ":" in k else k
@@ -558,6 +578,8 @@ def run_chm13_dual_child():
         "cold_wall_s": round(cold_wall, 1),
         "stages_s": agg,
         "peak_rss_gb": round(rss_gb, 2),
+        "resume_wall_s": round(resume_wall, 1),
+        "resume_gci_match": resume_match,
         "parity": not mismatched,
         "parity_files": len(files),
     }
